@@ -1,0 +1,205 @@
+"""The SCADE NeRF MLP as a functional JAX model.
+
+Architecture matches the reference (reference: model/run_nerf_helpers.py:193-247):
+D=8 x W=256 trunk with a skip concat of the embedded position after layer 4,
+a view branch (W/2) fed by [feature, embedded_dirs, cam_latent], and
+softplus(beta=10) on the density output. Init matches DenseLayer
+(run_nerf_helpers.py:131-139): xavier-uniform with relu gain on hidden
+layers, unit gain on output heads, zero biases.
+
+Design: parameters are a plain pytree ``{name: {"kernel": (in, out),
+"bias": (out,)}}`` — no Module framework in the hot path, so the whole
+render step stays one flat jaxpr that XLA can fuse freely, and sharding is
+plain tree-manipulation. Matmuls run in a configurable ``compute_dtype``
+(bfloat16 on the MXU for speed; float32 for strict parity), with float32
+accumulation via ``preferred_element_type``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class NeRFConfig:
+    """Static architecture config (hashable — safe as a jit static arg)."""
+
+    D: int = 8
+    W: int = 256
+    input_ch: int = 3
+    input_ch_views: int = 3
+    input_ch_cam: int = 0
+    output_ch: int = 4  # only used when use_viewdirs=False
+    skips: tuple = (4,)
+    use_viewdirs: bool = True
+    compute_dtype: Any = jnp.float32
+
+    def layer_in_dim(self, i: int) -> int:
+        if i == 0:
+            return self.input_ch
+        # layer i takes a skip concat if layer i-1's output was concatenated,
+        # i.e. when (i-1) in skips (reference constructor :206-207)
+        if (i - 1) in self.skips:
+            return self.W + self.input_ch
+        return self.W
+
+
+def _xavier_uniform(key, in_dim: int, out_dim: int, gain: float, dtype=jnp.float32):
+    bound = gain * math.sqrt(6.0 / (in_dim + out_dim))
+    return jax.random.uniform(
+        key, (in_dim, out_dim), dtype=dtype, minval=-bound, maxval=bound
+    )
+
+
+def _dense_init(key, in_dim: int, out_dim: int, activation: str):
+    # torch.nn.init.calculate_gain: relu → sqrt(2), linear → 1
+    gain = math.sqrt(2.0) if activation == "relu" else 1.0
+    return {
+        "kernel": _xavier_uniform(key, in_dim, out_dim, gain),
+        "bias": jnp.zeros((out_dim,), dtype=jnp.float32),
+    }
+
+
+def nerf_init(key, cfg: NeRFConfig) -> Params:
+    """Initialize a params pytree matching the reference layer-for-layer."""
+    keys = jax.random.split(key, cfg.D + 5)
+    params: Params = {
+        "pts_linears": [
+            _dense_init(keys[i], cfg.layer_in_dim(i), cfg.W, "relu")
+            for i in range(cfg.D)
+        ]
+    }
+    view_in = cfg.input_ch_views + cfg.input_ch_cam + cfg.W
+    params["views_linears"] = [
+        _dense_init(keys[cfg.D], view_in, cfg.W // 2, "relu")
+    ]
+    if cfg.use_viewdirs:
+        params["feature_linear"] = _dense_init(keys[cfg.D + 1], cfg.W, cfg.W, "linear")
+        params["alpha_linear"] = _dense_init(keys[cfg.D + 2], cfg.W, 1, "linear")
+        params["rgb_linear"] = _dense_init(keys[cfg.D + 3], cfg.W // 2, 3, "linear")
+    else:
+        params["output_linear"] = _dense_init(
+            keys[cfg.D + 4], cfg.W, cfg.output_ch, "linear"
+        )
+    return params
+
+
+def _dense(x, layer, compute_dtype):
+    # TPU f32 matmuls default to bf16 passes; force true f32 for parity mode.
+    # bf16 compute keeps DEFAULT (single MXU pass) with f32 accumulation.
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if compute_dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    y = jnp.dot(
+        x.astype(compute_dtype),
+        layer["kernel"].astype(compute_dtype),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    return y + layer["bias"]
+
+
+def _softplus_beta10(x):
+    # F.softplus(x, beta=10) == softplus(10x)/10, numerically stable via jax.nn
+    return jax.nn.softplus(10.0 * x) / 10.0
+
+
+def nerf_apply(params: Params, cfg: NeRFConfig, x: jnp.ndarray) -> jnp.ndarray:
+    """Forward pass on embedded inputs.
+
+    x: (..., input_ch + input_ch_views + input_ch_cam) — embedded position
+    followed by embedded view dir and (optional) camera latent, matching the
+    reference input packing (run_scade_scannet.py:48-63).
+    Returns (..., 4): [rgb_logits..., softplus-density] (run_nerf_helpers.py:223-247).
+    """
+    cd = cfg.compute_dtype
+    input_pts = x[..., : cfg.input_ch]
+    input_views = x[..., cfg.input_ch :]
+
+    h = input_pts
+    for i, layer in enumerate(params["pts_linears"]):
+        h = jax.nn.relu(_dense(h, layer, cd))
+        if i in cfg.skips:
+            h = jnp.concatenate([input_pts, h], axis=-1)
+
+    if cfg.use_viewdirs:
+        alpha = _dense(h, params["alpha_linear"], cd)
+        feature = _dense(h, params["feature_linear"], cd)
+        h = jnp.concatenate([feature, input_views], axis=-1)
+        for layer in params["views_linears"]:
+            h = jax.nn.relu(_dense(h, layer, cd))
+        rgb = _dense(h, params["rgb_linear"], cd)
+        return jnp.concatenate([rgb, _softplus_beta10(alpha)], axis=-1)
+
+    out = _dense(h, params["output_linear"], cd)
+    return jnp.concatenate(
+        [out[..., :3], _softplus_beta10(out[..., 3:])], axis=-1
+    )
+
+
+def nerf_num_params(params: Params) -> int:
+    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+
+
+# ---------------------------------------------------------------------------
+# torch checkpoint translation (both directions) — keeps reference `.tar`
+# checkpoints drop-in loadable and lets reference tooling read ours.
+# ---------------------------------------------------------------------------
+
+
+def params_from_torch_state_dict(state_dict, cfg: NeRFConfig) -> Params:
+    """Translate a reference NeRF state_dict (possibly DataParallel-prefixed
+    with 'module.') into our params pytree. Torch Linear stores (out, in);
+    we store kernel as (in, out)."""
+
+    def get(name):
+        for k in (name, "module." + name):
+            if k in state_dict:
+                return np.asarray(state_dict[k], dtype=np.float32)
+        raise KeyError(f"missing key {name} in torch state_dict")
+
+    def layer(name):
+        return {
+            "kernel": jnp.asarray(get(name + ".weight").T),
+            "bias": jnp.asarray(get(name + ".bias")),
+        }
+
+    params: Params = {
+        "pts_linears": [layer(f"pts_linears.{i}") for i in range(cfg.D)],
+        "views_linears": [layer("views_linears.0")],
+    }
+    if cfg.use_viewdirs:
+        params["feature_linear"] = layer("feature_linear")
+        params["alpha_linear"] = layer("alpha_linear")
+        params["rgb_linear"] = layer("rgb_linear")
+    else:
+        params["output_linear"] = layer("output_linear")
+    return params
+
+
+def params_to_torch_state_dict(params: Params, prefix: str = "module.") -> dict:
+    """Emit a reference-schema state_dict (numpy values, torch layout)."""
+    out = {}
+
+    def put(name, layer):
+        out[prefix + name + ".weight"] = np.asarray(layer["kernel"]).T.copy()
+        out[prefix + name + ".bias"] = np.asarray(layer["bias"]).copy()
+
+    for i, layer in enumerate(params["pts_linears"]):
+        put(f"pts_linears.{i}", layer)
+    for i, layer in enumerate(params["views_linears"]):
+        put(f"views_linears.{i}", layer)
+    for name in ("feature_linear", "alpha_linear", "rgb_linear", "output_linear"):
+        if name in params:
+            put(name, params[name])
+    return out

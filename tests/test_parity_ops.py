@@ -1,0 +1,119 @@
+"""Golden parity tests: our jnp ops vs the reference's torch outputs
+(pinned to tests/golden/*.npz by tools/gen_goldens.py)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from conftest import load_golden
+
+from scade_tpu.ops import (
+    compute_space_carving_loss,
+    get_embedder,
+    get_rays,
+    positional_encoding,
+    raw2outputs,
+    sample_pdf,
+)
+
+
+@pytest.mark.parametrize("multires", [9, 10, 4, 0])
+def test_embedding_parity(multires):
+    g = load_golden(f"embed_multires{multires}")
+    emb = get_embedder(multires, 0)
+    y = positional_encoding(jnp.asarray(g["x"]), emb)
+    assert y.shape == g["y"].shape
+    np.testing.assert_allclose(np.asarray(y), g["y"], rtol=1e-5, atol=1e-5)
+
+
+def test_embedding_identity():
+    g = load_golden("embed_multires9")
+    emb = get_embedder(9, -1)
+    y = positional_encoding(jnp.asarray(g["x"]), emb)
+    np.testing.assert_array_equal(np.asarray(y), g["x"])
+    assert emb.out_dim == 3
+
+
+def test_rays_parity():
+    g = load_golden("rays")
+    H, W = int(g["H"]), int(g["W"])
+    ro, rd = get_rays(H, W, jnp.asarray(g["intr"]), jnp.asarray(g["c2w"]))
+    np.testing.assert_allclose(np.asarray(ro), g["rays_o"], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rd), g["rays_d"], rtol=1e-5, atol=1e-5)
+
+
+def test_rays_at_coords_parity():
+    g = load_golden("rays")
+    H, W = int(g["H"]), int(g["W"])
+    ro, rd = get_rays(
+        H, W, jnp.asarray(g["intr"]), jnp.asarray(g["c2w"]),
+        coords=jnp.asarray(g["coords"]),
+    )
+    np.testing.assert_allclose(np.asarray(ro), g["rays_o_c"], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rd), g["rays_d_c"], rtol=1e-5, atol=1e-5)
+
+
+def test_sample_pdf_parity():
+    g = load_golden("sample_pdf")
+    s = sample_pdf(jnp.asarray(g["bins"]), jnp.asarray(g["weights"]), jnp.asarray(g["u"]))
+    np.testing.assert_allclose(np.asarray(s), g["samples"], rtol=1e-4, atol=1e-4)
+
+
+def test_sample_pdf_det_parity():
+    g = load_golden("sample_pdf")
+    n_rays = g["bins"].shape[0]
+    u = jnp.broadcast_to(jnp.linspace(0.0, 1.0, 64), (n_rays, 64))
+    s = sample_pdf(jnp.asarray(g["bins"]), jnp.asarray(g["weights"]), u)
+    np.testing.assert_allclose(np.asarray(s), g["samples_det"], rtol=1e-4, atol=1e-4)
+
+
+def test_sample_pdf_joint_parity():
+    g = load_golden("sample_pdf")
+    s = sample_pdf(
+        jnp.asarray(g["bins"]), jnp.asarray(g["weights"]), jnp.asarray(g["u_joint"])
+    )
+    np.testing.assert_allclose(np.asarray(s), g["samples_joint"], rtol=1e-4, atol=1e-4)
+
+
+def test_sample_pdf_monotone_bounds():
+    g = load_golden("sample_pdf")
+    s = np.asarray(
+        sample_pdf(jnp.asarray(g["bins"]), jnp.asarray(g["weights"]), jnp.asarray(g["u"]))
+    )
+    assert (s >= g["bins"].min(-1, keepdims=True) - 1e-5).all()
+    assert (s <= g["bins"].max(-1, keepdims=True) + 1e-5).all()
+
+
+@pytest.mark.parametrize("is_joint", [False, True])
+@pytest.mark.parametrize("threshold", [0.0, 0.5])
+def test_space_carving_parity(is_joint, threshold):
+    g = load_golden("space_carving")
+    loss = compute_space_carving_loss(
+        jnp.asarray(g["pred"]), jnp.asarray(g["hyp"]),
+        is_joint=is_joint, threshold=threshold,
+    )
+    ref = g[f"loss_j{int(is_joint)}_t{threshold}"]
+    np.testing.assert_allclose(float(loss), float(ref), rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("is_joint", [False, True])
+def test_space_carving_mask_parity(is_joint):
+    g = load_golden("space_carving")
+    loss = compute_space_carving_loss(
+        jnp.asarray(g["pred"]), jnp.asarray(g["hyp"]),
+        is_joint=is_joint, mask=jnp.asarray(g["mask"]),
+    )
+    ref = g[f"loss_mask_j{int(is_joint)}"]
+    np.testing.assert_allclose(float(loss), float(ref), rtol=1e-5, atol=1e-6)
+
+
+def test_raw2outputs_parity():
+    g = load_golden("raw2outputs")
+    rgb_map, disp_map, acc_map, weights, depth_map = raw2outputs(
+        jnp.asarray(g["raw"]), jnp.asarray(g["z_vals"]), jnp.asarray(g["rays_d"])
+    )
+    np.testing.assert_allclose(np.asarray(weights), g["weights"], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(rgb_map), g["rgb_map"], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(depth_map), g["depth_map"], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(acc_map), g["acc_map"], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(disp_map), g["disp_map"], rtol=1e-4, atol=1e-5)
