@@ -1,0 +1,13 @@
+#!/usr/bin/env python
+"""SCADE on In-the-Wild / Tanks&Temples scenes — TPU-native CLI.
+
+Differences from the ScanNet runner (reference: run_scade_wild.py vs
+run_scade_scannet.py): scenes load via load_scene_processed (no GT depth,
+.png depth files), optional --mask_edges border masking, RGB loss masked by
+the space-carving mask, and scaleshift_lr defaults to 1e-5.
+"""
+
+from run_scade_scannet import main
+
+if __name__ == "__main__":
+    main("wild")

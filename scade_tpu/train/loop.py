@@ -1,0 +1,240 @@
+"""Host-side training loop: cadence, checkpoints, logging, final test.
+
+The device does all per-step work (see scade_tpu.train.step); this loop only
+splits RNG keys, fetches metrics at the i_print cadence (fetching every step
+would stall the device pipeline — on deferred-execution backends it would
+also serialize dispatch), and handles i_weights / i_img / final-test side
+effects (reference cadence: run_scade_scannet.py:1002-1087).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scade_tpu.eval.evaluate import (
+    render_images_with_metrics,
+    write_images_with_metrics,
+)
+from scade_tpu.eval.lpips_jax import LPIPSAlex
+from scade_tpu.ops.rays import get_rays
+from scade_tpu.render.renderer import SceneVars, make_render_config
+from scade_tpu.train.step import (
+    TrainConfig,
+    create_train_state,
+    make_train_step,
+    scene_tensors_from_scene,
+)
+from scade_tpu.utils.ckpt import (
+    find_checkpoints,
+    restore_train_state,
+    save_checkpoint,
+)
+from scade_tpu.utils.logging import Writer
+
+
+def compute_scene_bounds(scene):
+    """Scene bbox from far-plane points of all train rays
+    (reference run_nerf, run_scade_scannet.py:1236-1244)."""
+    max_xyz = np.full((3,), -1e6, np.float32)
+    min_xyz = np.full((3,), 1e6, np.float32)
+    for idx in scene.i_train:
+        rays_o, rays_d = get_rays(
+            scene.H, scene.W,
+            jnp.asarray(scene.intrinsics[idx]), jnp.asarray(scene.poses[idx]),
+        )
+        pts = np.asarray(rays_o + rays_d * scene.far).reshape(-1, 3)
+        max_xyz = np.maximum(pts.max(0), max_xyz)
+        min_xyz = np.minimum(pts.min(0), min_xyz)
+    bb_center = (max_xyz + min_xyz) / 2.0
+    bb_scale = 2.0 / (max_xyz - min_xyz).max()
+    return bb_center, float(bb_scale)
+
+
+def args_to_configs(args):
+    """CLI args → (RenderConfig, TrainConfig)."""
+    rc = make_render_config(
+        multires=args.multires,
+        multires_views=args.multires_views,
+        i_embed=args.i_embed,
+        netdepth=args.netdepth,
+        netwidth=args.netwidth,
+        netdepth_fine=args.netdepth_fine,
+        netwidth_fine=args.netwidth_fine,
+        n_samples=args.N_samples,
+        n_importance=args.N_importance,
+        perturb=args.perturb > 0.0,
+        raw_noise_std=args.raw_noise_std,
+        lindisp=args.lindisp,
+        is_joint=args.is_joint,
+        use_viewdirs=args.use_viewdirs,
+        input_ch_cam=args.input_ch_cam,
+        compute_dtype=jnp.bfloat16
+        if args.compute_dtype == "bfloat16"
+        else jnp.float32,
+    )
+    tc = TrainConfig(
+        n_rand=args.N_rand,
+        num_iterations=args.num_iterations,
+        lrate=args.lrate,
+        decay_step=args.decay_step,
+        decay_rate=args.decay_rate,
+        scaleshift_lr=args.scaleshift_lr,
+        scale_init=args.scale_init,
+        shift_init=args.shift_init,
+        freeze_ss=args.freeze_ss,
+        warm_start_nerf=args.warm_start_nerf,
+        space_carving_weight=args.space_carving_weight,
+        space_carving_threshold=args.space_carving_threshold,
+        is_joint=args.is_joint,
+        norm_p=args.norm_p,
+        mask_corners=getattr(args, "mask_corners", False),
+        mask_edges=getattr(args, "mask_edges", False),
+        # the wild runner masks the RGB loss whenever a pixel mask exists
+        # (run_scade_wild.py:976-1008); set by run_scade_wild.py
+        mask_rgb=getattr(args, "mask_rgb", False),
+    )
+    return rc, tc
+
+
+def train_nerf(scene, args):
+    """Full SCADE training (reference train_nerf :830-1089). `scene` is a
+    loaded scade_tpu.data.Scene. Returns the final TrainState."""
+    rc, tc = args_to_configs(args)
+    key = jax.random.PRNGKey(args.seed)
+
+    # val/test get GT depth when available (:843-847)
+    if scene.gt_depths is not None:
+        for idx in (scene.i_test, scene.i_val):
+            scene.depths[idx] = scene.gt_depths[idx]
+            scene.valid_depths[idx] = scene.gt_valid_depths[idx]
+
+    bb_center, bb_scale = compute_scene_bounds(scene)
+    st = scene_tensors_from_scene(scene, bb_center, bb_scale)
+    n_train = len(scene.i_train)
+    n_rel = int(st.images.shape[0])
+
+    key, k_init = jax.random.split(key)
+    state = create_train_state(
+        k_init, rc, tc, n_images=n_rel,
+        scales_init=scene.scales_init, shifts_init=scene.shifts_init,
+    )
+
+    run_dir = os.path.join(args.ckpt_dir, args.expname)
+    os.makedirs(run_dir, exist_ok=True)
+    start = 0
+    if not args.no_reload:
+        ckpts = find_checkpoints(args.ckpt_dir, args.expname)
+        if ckpts:
+            print(f"Reloading from {ckpts[-1]}")
+            state = restore_train_state(ckpts[-1], state, rc)
+            start = int(state.step)
+    if args.load_pretrained:
+        ckpts = find_checkpoints(
+            os.path.dirname(args.pretrained_dir.rstrip("/")),
+            os.path.basename(args.pretrained_dir.rstrip("/")),
+        )
+        if not ckpts:
+            raise FileNotFoundError(f"no ckpts in {args.pretrained_dir}")
+        print(f"Warm-starting from {ckpts[-1]}")
+        state = restore_train_state(ckpts[-1], state, rc)
+        state = state._replace(step=jnp.zeros((), jnp.int32))
+
+    step_fn = make_train_step(rc, tc, scene.H, scene.W, n_train)
+    tb = Writer(os.path.join("runs", args.expname))
+    lpips_fn = LPIPSAlex()
+
+    def scene_vars(params):
+        return SceneVars(
+            params_coarse=params["coarse"],
+            params_fine=params["fine"],
+            bb_center=st.bb_center,
+            bb_scale=st.bb_scale,
+            embedded_cam=jnp.zeros((rc.input_ch_cam,), jnp.float32),
+        )
+
+    base_key = jax.random.PRNGKey(args.seed + 1)
+    i_val_local = np.arange(n_train, n_rel)
+    if len(i_val_local) == 0:
+        i_val_local = np.arange(n_train)
+
+    metrics = {}
+    for i in range(start + 1, tc.num_iterations + 1):
+        state, metrics = step_fn(state, st, jax.random.fold_in(base_key, i))
+
+        if i % args.i_weights == 0:
+            path = os.path.join(run_dir, f"{i:06d}.tar")
+            save_checkpoint(path, jax.device_get(state), rc)
+            print(f"Saved checkpoints at {path}")
+
+        if i % args.i_print == 0:
+            m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+            tb.add_scalars("mse", {"train": m["img_loss"]}, i)
+            if tc.space_carving_weight > 0.0:
+                tb.add_scalars(
+                    "space_carving_loss", {"train": m["space_carving_loss"]}, i
+                )
+            tb.add_scalars("psnr", {"train": m["psnr"]}, i)
+            if "img_loss0" in m:
+                tb.add_scalars("mse0", {"train": m["img_loss0"]}, i)
+                tb.add_scalars("psnr0", {"train": m["psnr0"]}, i)
+            tb.add_scalars("depth_scale_mean", {"train": m["depth_scale_mean"]}, i)
+            tb.add_scalars("depth_shift_mean", {"train": m["depth_shift_mean"]}, i)
+            print(
+                f"[TRAIN] Iter: {i} Loss: {m['loss']:.6f}  PSNR: {m['psnr']:.3f}"
+                f"  MSE: {m['img_loss']:.6f} Space carving: "
+                f"{m['space_carving_loss']:.6f}"
+            )
+
+        if i % args.i_img == 0:
+            sv = scene_vars(state.params)
+            imgs_np = np.asarray(jax.device_get(st.images))
+            depths_np = scene.depths[
+                np.concatenate([scene.i_train, scene.i_val])
+                if len(scene.i_val)
+                else scene.i_train
+            ]
+            valid_np = scene.valid_depths[
+                np.concatenate([scene.i_train, scene.i_val])
+                if len(scene.i_val)
+                else scene.i_train
+            ]
+            poses_np = np.asarray(jax.device_get(st.poses))
+            intr_np = np.asarray(jax.device_get(st.intrinsics))
+            mean_val, _ = render_images_with_metrics(
+                min(8, len(i_val_local)), i_val_local, imgs_np, depths_np,
+                valid_np, poses_np, scene.H, scene.W, intr_np, sv, rc,
+                scene.near, scene.far, chunk=args.chunk // 2,
+                lpips_fn=lpips_fn, rng=np.random.default_rng(i),
+            )
+            tb.add_scalars("mse", {"val": mean_val.get("img_loss")}, i)
+            tb.add_scalars("psnr", {"val": mean_val.get("psnr")}, i)
+            tb.add_scalar("ssim", mean_val.get("ssim"), i)
+            if mean_val.has("lpips"):
+                tb.add_scalar("lpips", mean_val.get("lpips"), i)
+            if mean_val.has("depth_rmse"):
+                tb.add_scalar("depth_rmse", mean_val.get("depth_rmse"), i)
+
+        if i == tc.num_iterations:
+            sv = scene_vars(state.params)
+            test_idx = np.arange(len(scene.i_test))
+            mean_test, images_test = render_images_with_metrics(
+                None, test_idx,
+                scene.images[scene.i_test], scene.depths[scene.i_test],
+                scene.valid_depths[scene.i_test], scene.poses[scene.i_test],
+                scene.H, scene.W, scene.intrinsics[scene.i_test],
+                sv, rc, scene.near, scene.far, chunk=args.chunk // 2,
+                lpips_fn=lpips_fn,
+            )
+            write_images_with_metrics(
+                images_test, mean_test, scene.far, args.ckpt_dir,
+                args.expname, args.scene_id,
+            )
+            tb.flush()
+
+    return state

@@ -1,0 +1,98 @@
+"""Observability: running metric means + TensorBoard writer.
+
+``MeanTracker`` mirrors the reference train_utils/logging.py:5-34 (weighted
+running means, same print format so metrics.txt diffs cleanly).
+``Writer`` wraps torch.utils.tensorboard when available and degrades to a
+JSONL scalar log otherwise, keeping the reference's tag names
+(run_scade_scannet.py:1022-1074).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+from typing import Optional
+
+
+class MeanTracker:
+    """Weighted running means over metric dicts (train_utils/logging.py:5-34)."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self._sums = {}
+        self._count = 0
+
+    def add(self, metrics: dict, weight: float = 1.0):
+        for key, value in metrics.items():
+            value = float(value)
+            if key not in self._sums:
+                self._sums[key] = value * weight
+            else:
+                self._sums[key] += value * weight
+        self._count += weight
+
+    def has(self, key: str) -> bool:
+        return key in self._sums
+
+    def get(self, key: str) -> float:
+        return self._sums[key] / max(self._count, 1e-12)
+
+    def as_dict(self) -> dict:
+        return {k: self.get(k) for k in self._sums}
+
+    def print(self, f=None):
+        f = f or sys.stdout
+        for key in self._sums:
+            f.write(f"{key}: {self.get(key)}\n")
+
+
+class Writer:
+    """TensorBoard scalar/image writer with a JSONL fallback."""
+
+    def __init__(self, log_dir: str):
+        os.makedirs(log_dir, exist_ok=True)
+        self._tb = None
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            self._tb = SummaryWriter(log_dir=log_dir)
+        except Exception:
+            pass
+        self._jsonl = open(os.path.join(log_dir, "scalars.jsonl"), "a")
+
+    def add_scalars(self, tag: str, values: dict, step: int):
+        if self._tb is not None:
+            self._tb.add_scalars(tag, values, step)
+        self._jsonl.write(
+            json.dumps({"tag": tag, "values": values, "step": step}) + "\n"
+        )
+
+    def add_scalar(self, tag: str, value: float, step: int):
+        if self._tb is not None:
+            self._tb.add_scalar(tag, value, step)
+        self._jsonl.write(
+            json.dumps({"tag": tag, "value": float(value), "step": step}) + "\n"
+        )
+
+    def add_image(self, tag: str, image, step: int):
+        """image: (H, W, 3) float in [0,1] or uint8, HWC."""
+        if self._tb is not None:
+            import numpy as np
+
+            img = np.asarray(image)
+            if img.dtype != "uint8":
+                img = (255 * img.clip(0, 1)).astype("uint8")
+            self._tb.add_image(tag, img, step, dataformats="HWC")
+
+    def flush(self):
+        if self._tb is not None:
+            self._tb.flush()
+        self._jsonl.flush()
+
+    def close(self):
+        if self._tb is not None:
+            self._tb.close()
+        self._jsonl.close()

@@ -1,0 +1,148 @@
+"""Train-step tests: shapes, finiteness, gating semantics, and the
+multi-chip sharded path on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from scade_tpu.parallel.mesh import data_sharding, make_mesh, replicate, state_shardings
+from scade_tpu.render.renderer import make_render_config
+from scade_tpu.train.step import (
+    SceneTensors,
+    TrainConfig,
+    create_train_state,
+    make_train_step,
+    staircase_lr,
+)
+
+H = W = 16
+N_TRAIN, N_REL, K = 2, 3, 4
+
+
+def tiny_scene(rng):
+    return SceneTensors(
+        images=jnp.asarray(rng.uniform(size=(N_REL, H, W, 3)), jnp.float32),
+        poses=jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (N_REL, 4, 4)),
+        intrinsics=jnp.broadcast_to(
+            jnp.asarray([8.0, 8.0, 8.0, 8.0], jnp.float32), (N_REL, 4)
+        ),
+        hyps=jnp.asarray(rng.uniform(1.0, 5.0, size=(N_TRAIN, K, H, W, 1)), jnp.float32),
+        near=jnp.float32(0.1),
+        far=jnp.float32(10.0),
+        bb_center=jnp.zeros((3,), jnp.float32),
+        bb_scale=jnp.float32(1.0),
+    )
+
+
+def make_setup(tc=None, n_samples=8, n_importance=16):
+    rc = make_render_config(multires=4, n_samples=n_samples, n_importance=n_importance)
+    tc = tc or TrainConfig(n_rand=32)
+    state = create_train_state(jax.random.PRNGKey(0), rc, tc, n_images=N_REL)
+    return rc, tc, state
+
+
+def test_train_step_runs_and_updates(rng):
+    rc, tc, state = make_setup()
+    scene = tiny_scene(rng)
+    step = make_train_step(rc, tc, H, W, N_TRAIN, donate=False)
+    new_state, metrics = step(state, scene, jax.random.PRNGKey(1))
+
+    assert int(new_state.step) == 1
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["psnr"]))
+    # params actually moved
+    delta = jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), state.params, new_state.params
+    )
+    assert max(jax.tree.leaves(delta)) > 0.0
+
+
+def test_scale_shift_receive_gradients(rng):
+    # space-carving loss backprops into the per-image depth scales/shifts
+    tc = TrainConfig(n_rand=32, scaleshift_lr=1e-2)
+    rc, tc, state = make_setup(tc)
+    scene = tiny_scene(rng)
+    step = make_train_step(rc, tc, H, W, N_TRAIN, donate=False)
+    new_state, _ = step(state, scene, jax.random.PRNGKey(1))
+    assert float(jnp.max(jnp.abs(new_state.scales - state.scales))) > 0.0
+
+
+def test_freeze_ss_stops_scale_shift(rng):
+    tc = TrainConfig(n_rand=32, scaleshift_lr=1e-2, freeze_ss=1)
+    rc, tc, state = make_setup(tc)
+    scene = tiny_scene(rng)
+    step = make_train_step(rc, tc, H, W, N_TRAIN, donate=False)
+    new_state, _ = step(state, scene, jax.random.PRNGKey(1))
+    np.testing.assert_array_equal(
+        np.asarray(new_state.scales), np.asarray(state.scales)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(new_state.shifts), np.asarray(state.shifts)
+    )
+
+
+def test_warm_start_gates_space_carving(rng):
+    # with warm_start > step, the sc loss must not contribute to the total
+    tc_on = TrainConfig(n_rand=32)
+    tc_off = TrainConfig(n_rand=32, warm_start_nerf=10)
+    rc, _, state = make_setup(tc_on)
+    scene = tiny_scene(rng)
+    _, m_on = make_train_step(rc, tc_on, H, W, N_TRAIN, donate=False)(
+        state, scene, jax.random.PRNGKey(1)
+    )
+    _, m_off = make_train_step(rc, tc_off, H, W, N_TRAIN, donate=False)(
+        state, scene, jax.random.PRNGKey(1)
+    )
+    expected_off = float(m_off["img_loss"]) + float(m_off["img_loss0"])
+    assert abs(float(m_off["loss"]) - expected_off) < 1e-6
+    assert float(m_on["loss"]) > float(m_off["loss"])
+
+
+def test_staircase_lr():
+    tc = TrainConfig(lrate=5e-4, decay_step=100, decay_rate=0.1)
+    sched = staircase_lr(tc)
+    assert float(sched(0)) == pytest.approx(5e-4)
+    assert float(sched(99)) == pytest.approx(5e-4)
+    assert float(sched(100)) == pytest.approx(5e-5)
+    assert float(sched(250)) == pytest.approx(5e-6)
+
+
+def test_multichip_sharded_step(rng):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh")
+    mesh = make_mesh(jax.devices()[:8], n_model=2)
+    rc = make_render_config(multires=4, n_samples=8, n_importance=16)
+    tc = TrainConfig(n_rand=32)  # 8 rays per data-shard
+    state = create_train_state(jax.random.PRNGKey(0), rc, tc, n_images=N_REL)
+    state = jax.device_put(state, state_shardings(state, mesh, shard_model=True))
+    scene = jax.device_put(tiny_scene(rng), replicate(mesh))
+
+    with mesh:
+        step = make_train_step(
+            rc, tc, H, W, N_TRAIN, data_spec=data_sharding(mesh), donate=False
+        )
+        new_state, metrics = step(state, scene, jax.random.PRNGKey(1))
+        jax.block_until_ready(new_state)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(new_state.step) == 1
+
+
+def test_graft_entry_contracts():
+    import importlib.util, os
+
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__",
+        os.path.join(os.path.dirname(__file__), "..", "__graft_entry__.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    fn, args = mod.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    assert out[0].shape == (1024, 3)
+
+    if len(jax.devices()) >= 8:
+        mod.dryrun_multichip(8)
