@@ -1,0 +1,155 @@
+"""Building blocks for the cIMLE depth prior (flax.linen).
+
+Shapes/semantics match the reference modules (reference:
+ambiguity_aware_prior/lib/models/network_auxi.py — AdaIn :233-264,
+FTB :709, FFM :804, AO :851; Resnext_torch.py Bottleneck :84-130).
+Data layout is NHWC (TPU-native; the reference is NCHW — translation
+utilities transpose accordingly).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def upsample_bilinear_align_corners(x, factor: int):
+    """torch nn.Upsample(mode='bilinear', align_corners=True) in NHWC.
+
+    jax.image.resize has no align_corners mode, so gather the interpolation
+    explicitly: out[i] = lerp(x[floor(s)], x[ceil(s)]) with
+    s = i * (in-1)/(out-1).
+    """
+    n, h, w, c = x.shape
+    oh, ow = h * factor, w * factor
+
+    def axis_weights(in_size, out_size):
+        if out_size == 1 or in_size == 1:
+            idx0 = jnp.zeros((out_size,), jnp.int32)
+            return idx0, idx0, jnp.zeros((out_size,), jnp.float32)
+        s = jnp.arange(out_size, dtype=jnp.float32) * (in_size - 1) / (out_size - 1)
+        i0 = jnp.floor(s).astype(jnp.int32)
+        i1 = jnp.minimum(i0 + 1, in_size - 1)
+        return i0, i1, s - i0.astype(jnp.float32)
+
+    r0, r1, rw = axis_weights(h, oh)
+    c0, c1, cw = axis_weights(w, ow)
+
+    top = x[:, r0, :, :] * (1 - rw)[None, :, None, None] + x[:, r1, :, :] * rw[None, :, None, None]
+    out = (
+        top[:, :, c0, :] * (1 - cw)[None, None, :, None]
+        + top[:, :, c1, :] * cw[None, None, :, None]
+    )
+    return out
+
+
+class AdaIn(nn.Module):
+    """z → per-channel (scale, shift); x·(scale+1−var_shift) + (shift−mean_shift)
+    (reference network_auxi.py:233-264)."""
+
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x, z, mean_shift, var_shift):
+        style = z
+        for width in (512, 256, 128):
+            style = nn.leaky_relu(nn.Dense(width)(style), negative_slope=0.01)
+        style = nn.Dense(self.out_channels * 2)(style)  # (B, 2C)
+        style = style.reshape(-1, 2, self.out_channels)
+        mean = style[:, 1] - mean_shift  # (B, C)
+        var = style[:, 0] + 1.0 - var_shift
+        return x * var[:, None, None, :] + mean[:, None, None, :]
+
+
+class Bottleneck(nn.Module):
+    """torchvision ResNet-V1.5 bottleneck with grouped 3x3
+    (Resnext_torch.py:84-130). width = planes * (base_width/64) * groups."""
+
+    planes: int
+    stride: int = 1
+    groups: int = 32
+    base_width: int = 8
+    has_downsample: bool = False
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm = lambda: nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5
+        )
+        width = int(self.planes * (self.base_width / 64.0)) * self.groups
+        out_ch = self.planes * self.expansion
+
+        identity = x
+        y = nn.Conv(width, (1, 1), use_bias=False)(x)
+        y = nn.relu(norm()(y))
+        y = nn.Conv(
+            width, (3, 3), strides=(self.stride, self.stride),
+            padding=[(1, 1), (1, 1)], feature_group_count=self.groups,
+            use_bias=False,
+        )(y)
+        y = nn.relu(norm()(y))
+        y = nn.Conv(out_ch, (1, 1), use_bias=False)(y)
+        y = norm()(y)
+
+        if self.has_downsample:
+            identity = nn.Conv(
+                out_ch, (1, 1), strides=(self.stride, self.stride),
+                use_bias=False, name="downsample_conv",
+            )(x)
+            identity = norm()(identity)
+        return nn.relu(y + identity)
+
+
+class FTB(nn.Module):
+    """Feature-transfer block: conv → residual conv-BN-conv branch → relu
+    (network_auxi.py:709-757)."""
+
+    midchannels: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.midchannels, (3, 3), padding=[(1, 1), (1, 1)])(x)
+        branch = nn.relu(x)
+        branch = nn.Conv(self.midchannels, (3, 3), padding=[(1, 1), (1, 1)])(branch)
+        branch = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5
+        )(branch)
+        branch = nn.relu(branch)
+        branch = nn.Conv(self.midchannels, (3, 3), padding=[(1, 1), (1, 1)])(branch)
+        return nn.relu(x + branch)
+
+
+class FFM(nn.Module):
+    """Feature-fusion: FTB(low) + high → FTB → 2x upsample
+    (network_auxi.py:804-849)."""
+
+    midchannels: int
+    outchannels: int
+    upfactor: int = 2
+
+    @nn.compact
+    def __call__(self, low_x, high_x, train: bool = False):
+        x = FTB(self.midchannels)(low_x, train)
+        x = x + high_x
+        x = FTB(self.outchannels)(x, train)
+        return upsample_bilinear_align_corners(x, self.upfactor)
+
+
+class AO(nn.Module):
+    """Adaptive output: conv-BN-relu-conv → 2x upsample (network_auxi.py:851-895)."""
+
+    inchannels: int
+    outchannels: int = 1
+    upfactor: int = 2
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.inchannels // 2, (3, 3), padding=[(1, 1), (1, 1)])(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(x)
+        x = nn.relu(x)
+        x = nn.Conv(self.outchannels, (3, 3), padding=[(1, 1), (1, 1)])(x)
+        return upsample_bilinear_align_corners(x, self.upfactor)

@@ -1,0 +1,96 @@
+"""Hypothesis dump: the bridge from the cIMLE prior to the SCADE NeRF.
+
+For each training image of a scene, draw K z-codes, run the prior, resize
+to raw resolution, align each hypothesis to sparse SfM depth with a deg-1
+polyfit, and save ``<scene>/train/leres_cimle/<dump_dir>/<img_id>_<k>.npy``
+(reference: ambiguity_aware_prior/tools/output_depth_hypothesis_scannet.py
+:374-574 — the K=20, minibatch-5 loop at :393-395,482-488, the per-
+hypothesis metric fit at :504, the .npy writes at :528-538).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scade_tpu.prior.data import FinetuneDataset, collate
+from scade_tpu.prior.metrics import recover_metric_depth
+from scade_tpu.prior.model import prior_apply
+
+
+def dump_depth_hypotheses(
+    model,
+    variables,
+    shifts,
+    scene_dir: str,
+    dump_dir: str,
+    d_latent: int = 32,
+    num_hypothesis: int = 20,
+    mini_batch_size: int = 5,
+    dataset_name: str = "scannet",
+    sfm_mask_threshold: float = 0.1,
+    default_scale: float = 0.5,
+    default_shift: float = 0.0,
+    seed: int = 0,
+    save_previews: bool = False,
+):
+    """Write K aligned hypothesis .npy files per train image. Returns the
+    output directory."""
+    try:
+        import cv2
+    except ImportError:  # pragma: no cover
+        cv2 = None
+
+    ds = FinetuneDataset(os.path.join(scene_dir, "train"), dataset_name)
+    out_dir = os.path.join(scene_dir, "train", "leres_cimle", dump_dir)
+    os.makedirs(out_dir, exist_ok=True)
+
+    key = jax.random.PRNGKey(seed)
+    num_sets = max(1, num_hypothesis // mini_batch_size)
+
+    @jax.jit
+    def infer(rgb, z):
+        rgb_rep = jnp.repeat(rgb, mini_batch_size, axis=0)
+        return prior_apply(model, variables, shifts, rgb_rep, z)
+
+    for idx in range(len(ds)):
+        ex = ds[idx]
+        img_id = os.path.basename(ex.rgb_path).split(".")[0]
+        sfm_depth = ds.load_sfm_depth(idx)
+        H_raw, W_raw = ex.raw_size
+
+        hyps = []
+        for _ in range(num_sets):
+            key, k = jax.random.split(key)
+            z = jax.random.normal(k, (mini_batch_size, d_latent), jnp.float32)
+            depth = np.asarray(infer(jnp.asarray(ex.rgb[None]), z))[..., 0]
+            hyps.extend(list(depth))
+        hyps = hyps[:num_hypothesis]
+
+        for k_i, hyp in enumerate(hyps):
+            hyp_raw = cv2.resize(
+                hyp.astype(np.float32), (W_raw, H_raw),
+                interpolation=cv2.INTER_LINEAR,
+            )
+            aligned, scale, shift = recover_metric_depth(
+                hyp_raw, sfm_depth, mask_threshold=sfm_mask_threshold,
+                default_scale=default_scale, default_shift=default_shift,
+            )
+            np.save(
+                os.path.join(out_dir, f"{img_id}_{k_i}.npy"),
+                aligned.astype(np.float32),
+            )
+            if save_previews and cv2 is not None:
+                prev = aligned - aligned.min()
+                prev = (prev / (prev.max() + 1e-8) * 255).astype(np.uint8)
+                cv2.imwrite(
+                    os.path.join(out_dir, f"{img_id}_{k_i}_preview.png"),
+                    cv2.applyColorMap(prev, cv2.COLORMAP_TURBO),
+                )
+        print(f"dumped {num_hypothesis} hypotheses for {img_id} "
+              f"({idx + 1}/{len(ds)})")
+    return out_dir

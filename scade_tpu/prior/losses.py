@@ -1,0 +1,541 @@
+"""LeReS/cIMLE prior loss suite in JAX.
+
+Re-implements the reference losses (reference: ambiguity_aware_prior/lib/models/
+ILNR_loss.py, MSGIL_loss.py, ranking_loss.py, PWN_edges.py, PWN_planes.py,
+Surface_normal.py) with TPU-native static shapes: every dynamic
+masked_select / nonzero / randperm in the reference becomes fixed-count
+sampling via Gumbel-categorical draws over the validity mask, which keeps
+one compiled program for every image while sampling uniformly over exactly
+the same support.
+
+Faithfulness notes (verified against the reference source):
+
+- The reference's ILNR/MSGIL ``transform`` is degenerate as shipped:
+  ``depth_valid = depth_valid[:5]`` caps at 5 elements so the ``< 10``
+  guard always fires and (mean, std) is always (0, 1)
+  (ILNR_loss.py:27-40, MSGIL_loss.py:43-58). We default to that shipped
+  behavior (``trimmed_stats=False``); the intended 10%-trimmed statistics
+  are available behind the flag.
+- The reference's MSGIL "multi-scale" loop re-downsamples from the FULL
+  tensor every iteration (MSGIL_loss.py:70-74), so it adds the same
+  single-scale term `scale` times. Default replicates this
+  (``progressive=False``).
+- PWN_edges accumulates its two edge regression terms onto the whole batch
+  vector and then overwrites entry i with the random term
+  (PWN_edges.py:230-240) — an indexing bug that discards the edge terms for
+  B==1. We implement the evident intent (all three terms per image) and
+  document the deviation.
+
+All image tensors here are NHWC (channel-last; the reference is NCHW).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# static-shape sampling utilities
+# ---------------------------------------------------------------------------
+
+
+def masked_sample(key, mask_flat, n: int):
+    """n i.i.d. uniform draws over indices where mask_flat (bool, (P,)) is
+    True — the static-shape replacement for randperm-over-masked_select.
+    Returns (idx (n,), any_valid ())."""
+    logits = jnp.where(mask_flat, 0.0, -jnp.inf)
+    any_valid = jnp.any(mask_flat)
+    # guard empty support: fall back to uniform-over-all (caller masks out)
+    safe_logits = jnp.where(any_valid, logits, jnp.zeros_like(logits))
+    idx = jax.random.categorical(key, safe_logits, shape=(n,))
+    return idx, any_valid
+
+
+def sobel_edges(img_2d):
+    """Sobel magnitude + orientation with the reference's zero-padded-VALID
+    convention (ranking_loss.py getEdge :127-143). img_2d: (H, W)."""
+    kx = jnp.asarray([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], jnp.float32)
+    ky = jnp.asarray([[1, 2, 1], [0, 0, 0], [-1, -2, -1]], jnp.float32)
+
+    def conv_valid(x, k):
+        return jax.lax.conv_general_dilated(
+            x[None, :, :, None], k[:, :, None, None], (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )[0, :, :, 0]
+
+    gx = conv_valid(img_2d, kx)
+    gy = conv_valid(img_2d, ky)
+    edges = jnp.sqrt(gx**2 + gy**2)
+    thetas = jnp.arctan2(gy, gx)
+    pad = lambda a: jnp.pad(a, ((1, 1), (1, 1)))
+    return pad(edges), pad(thetas)
+
+
+# ---------------------------------------------------------------------------
+# ILNR — image-level normalized regression (MEADSTD_TANH_NORM)
+# ---------------------------------------------------------------------------
+
+
+def _trimmed_stats(gt_flat, valid):
+    """10%-trimmed mean/std over valid depths (the *intended* transform)."""
+    big = jnp.where(valid, gt_flat, jnp.inf)
+    order = jnp.sort(big)
+    n_valid = jnp.sum(valid)
+    lo = (n_valid.astype(jnp.float32) * 0.1).astype(jnp.int32)
+    hi = n_valid - lo
+    ranks = jnp.arange(order.shape[0])
+    in_trim = (ranks >= lo) & (ranks < hi) & jnp.isfinite(order)
+    w = in_trim.astype(jnp.float32)
+    denom = jnp.maximum(jnp.sum(w), 1.0)
+    mean = jnp.sum(order * w, where=jnp.isfinite(order), initial=0.0) / denom
+    var = jnp.sum(((order - mean) ** 2) * w, where=jnp.isfinite(order), initial=0.0) / jnp.maximum(denom - 1.0, 1.0)
+    ok = n_valid >= 10
+    return jnp.where(ok, mean, 0.0), jnp.where(ok, jnp.sqrt(var), 1.0)
+
+
+def ilnr_loss(pred, gt, valid_threshold=-1e-8, max_threshold=1e8,
+              trimmed_stats: bool = False):
+    """MEADSTD_TANH_NORM_Loss (ILNR_loss.py:12-80). pred/gt: (B, H, W, 1).
+    Returns per-image (B,) losses (the reference returns the batch vector)."""
+    B = pred.shape[0]
+    mask = (gt > valid_threshold) & (gt < max_threshold)
+    m = mask.reshape(B, -1).astype(jnp.float32)
+    p = pred.reshape(B, -1)
+    g = gt.reshape(B, -1)
+
+    if trimmed_stats:
+        stats = [ _trimmed_stats(g[i], m[i] > 0) for i in range(B) ]
+        mean = jnp.stack([s[0] for s in stats])[:, None]
+        std = jnp.stack([s[1] for s in stats])[:, None]
+    else:
+        # shipped behavior: transform always returns (0, 1) — see module doc
+        mean = jnp.zeros((B, 1), jnp.float32)
+        std = jnp.ones((B, 1), jnp.float32)
+
+    g_t = (g - mean) / (std + 1e-8)
+    denom = jnp.maximum(jnp.sum(m, axis=1), 1.0)
+    l_mae = jnp.sum(jnp.abs(g_t - p) * m, axis=1) / denom
+    l_tanh = jnp.sum(
+        jnp.abs(jnp.tanh(0.01 * g_t) - jnp.tanh(0.01 * p)) * m, axis=1
+    ) / denom
+    # batches with <=100 valid pixels contribute 0 (ILNR_loss.py:51-55)
+    batch_ok = (jnp.sum(m, axis=1) > 100).astype(jnp.float32)
+    return (l_mae + l_tanh) * batch_ok
+
+
+# ---------------------------------------------------------------------------
+# MSGIL — multi-scale gradient loss
+# ---------------------------------------------------------------------------
+
+
+def _one_scale_gradient(pred, gt, mask):
+    """MSGIL_loss.py:18-37. pred/gt/mask: (B, H, W)."""
+    B = pred.shape[0]
+    mf = mask.astype(pred.dtype)
+    d = pred - gt
+    v_mask = mf[:, :-2, :] * mf[:, 2:, :]
+    v_grad = jnp.abs(d[:, :-2, :] - d[:, 2:, :]) * v_mask
+    h_mask = mf[:, :, :-2] * mf[:, :, 2:]
+    h_grad = jnp.abs(d[:, :, :-2] - d[:, :, 2:]) * h_mask
+    valid = h_mask.reshape(B, -1).mean(-1) + v_mask.reshape(B, -1).mean(-1)
+    grad = h_grad.reshape(B, -1).mean(-1) + v_grad.reshape(B, -1).mean(-1)
+    return grad / (valid + 1e-8)
+
+
+def msgil_loss(pred, gt, scale: int = 4, valid_threshold=-1e-8,
+               trimmed_stats: bool = False, progressive: bool = False):
+    """MSGIL_NORM_Loss (MSGIL_loss.py:6-77). pred/gt: (B, H, W, 1) → (B,)."""
+    B = pred.shape[0]
+    mask = (gt > valid_threshold)[..., 0]
+    p = pred[..., 0]
+    g = gt[..., 0]
+    if trimmed_stats:
+        m2 = mask.reshape(B, -1)
+        stats = [_trimmed_stats(g.reshape(B, -1)[i], m2[i]) for i in range(B)]
+        mean = jnp.stack([s[0] for s in stats])[:, None, None]
+        std = jnp.stack([s[1] for s in stats])[:, None, None]
+    else:
+        mean, std = 0.0, 1.0
+    g_t = (g - mean) / (std + 1e-8)
+
+    total = jnp.zeros((B,), jnp.float32)
+    dp, dg, dm = p, g_t, mask
+    for _ in range(scale):
+        dp2, dg2, dm2 = dp[:, ::2, ::2], dg[:, ::2, ::2], dm[:, ::2, ::2]
+        total = total + _one_scale_gradient(dp2, dg2, dm2)
+        if progressive:
+            dp, dg, dm = dp2, dg2, dm2
+        # shipped behavior: restart from full resolution each iteration
+    return total
+
+
+# ---------------------------------------------------------------------------
+# Edge-guided ranking loss
+# ---------------------------------------------------------------------------
+
+
+def _edge_guided_pairs(key, edges, thetas, H, W, n_anchors, dist_lo, dist_hi):
+    """Static-shape port of edgeGuidedSampling (ranking_loss.py:60-107):
+    anchors uniform over pixels with edge >= 0.1*max; 4 offset points along
+    the (absolute) gradient direction at random distances; pairs
+    (a,b),(b,c),(c,d). Returns flat indices A, B of shape (3*n_anchors,)."""
+    k1, k2 = jax.random.split(key)
+    edges_flat = edges.reshape(-1)
+    mask = edges_flat >= 0.1 * jnp.max(edges_flat)
+    idx, _ = masked_sample(k1, mask, n_anchors)
+    theta = thetas.reshape(-1)[idx]
+    row_a = idx // W
+    col_a = idx % W
+
+    dist = jax.random.randint(k2, (4, n_anchors), dist_lo, dist_hi).astype(jnp.float32)
+    sign = jnp.asarray([-1.0, -1.0, 1.0, 1.0])[:, None]
+    dist = dist * sign
+    col = col_a[None] + jnp.round(dist * jnp.abs(jnp.cos(theta))[None]).astype(jnp.int32)
+    row = row_a[None] + jnp.round(dist * jnp.abs(jnp.sin(theta))[None]).astype(jnp.int32)
+    col = jnp.clip(col, 0, W - 1)
+    row = jnp.clip(row, 0, H - 1)
+    flat = row * W + col  # (4, n)
+    A = jnp.concatenate([flat[0], flat[1], flat[2]])
+    B = jnp.concatenate([flat[1], flat[2], flat[3]])
+    return A, B
+
+
+def ranking_edge_loss(key, pred, gt, rgb, mask_value=-1e-8, sigma=0.03,
+                      alpha=1.0, n_anchors: int = 3000):
+    """EdgeguidedRankingLoss (ranking_loss.py:112-201): EGS + RS point pairs,
+    squared loss on ~equal pairs, logistic ranking loss otherwise.
+    pred/gt: (B, H, W, 1); rgb: (B, H, W, 3). Returns (B,)."""
+    B, H, W = pred.shape[:3]
+
+    def per_image(key, p, g, im):
+        k_e, k_r = jax.random.split(key)
+        edges, thetas = sobel_edges(im[..., 0])  # red channel (getEdge :131)
+        A, Bi = _edge_guided_pairs(k_e, edges, thetas, H, W, n_anchors, 2, 31)
+
+        pf, gf = p.reshape(-1), g.reshape(-1)
+        valid = gf > mask_value
+        # random pairs over valid gt (randomSampling :18-40)
+        ridx, _ = masked_sample(k_r, valid, 2 * 3 * n_anchors)
+        rA, rB = ridx[0::2], ridx[1::2]
+        A = jnp.concatenate([A, rA])
+        Bi = jnp.concatenate([Bi, rB])
+
+        iA, iB = pf[A], pf[Bi]
+        tA, tB = gf[A], gf[Bi]
+        mA = valid[A].astype(jnp.float32)
+        mB = valid[Bi].astype(jnp.float32)
+        consistency = mA * mB
+
+        ratio = (tA + 1e-6) / (tB + 1e-6)
+        mask_eq = (ratio < 1.0 + sigma) & (ratio > 1.0 / (1.0 + sigma))
+        labels = jnp.where(ratio >= 1.0 + sigma, 1.0,
+                           jnp.where(ratio <= 1.0 / (1.0 + sigma), -1.0, 0.0))
+
+        equal_l = (iA - iB) ** 2 * mask_eq.astype(jnp.float32) * consistency
+        unequal_l = jnp.log1p(jnp.exp((-iA + iB) * labels)) * (
+            1.0 - mask_eq.astype(jnp.float32)
+        ) * consistency
+        return alpha * jnp.mean(equal_l) + jnp.mean(unequal_l)
+
+    keys = jax.random.split(key, B)
+    return jax.vmap(per_image)(keys, pred, gt, rgb)
+
+
+# ---------------------------------------------------------------------------
+# Surface normals from depth
+# ---------------------------------------------------------------------------
+
+
+def _avg_pool3(x):
+    """3x3 stride-1 avg pool, SAME zero padding (torch avg_pool2d padding=1
+    counts the zeros in the denominator — count_include_pad default)."""
+    s = jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, 3, 3, 1), (1, 1, 1, 1),
+        [(0, 0), (1, 1), (1, 1), (0, 0)],
+    )
+    return s / 9.0
+
+
+def depth_to_xyz(depth, focal_length):
+    """(B, H, W, 1) depth → (B, H, W, 3) camera-frame points
+    (Surface_normal.py:6-30): x=(u-W/2)d/f, y=(v-H/2)d/f, z=d."""
+    B, H, W = depth.shape[:3]
+    u = jnp.arange(W, dtype=jnp.float32)[None, None, :, None] - W / 2.0
+    v = jnp.arange(H, dtype=jnp.float32)[None, :, None, None] - H / 2.0
+    f = focal_length.reshape(-1, 1, 1, 1)
+    return jnp.concatenate([u * depth / f, v * depth / f, depth], axis=-1)
+
+
+def surface_normal_from_depth(depth, focal_length, valid_mask=None):
+    """get_surface_normalv2 over avg-filtered depth (Surface_normal.py:95-213).
+    depth: (B, H, W, 1); returns (B, H, W, 3) unit normals."""
+    B, H, W = depth.shape[:3]
+    d = _avg_pool3(_avg_pool3(depth))
+    xyz = depth_to_xyz(d, focal_length)
+
+    patch = 5
+    half = patch // 2
+    pad = jnp.zeros((B, H + patch - 1, W + patch - 1, 3), xyz.dtype)
+    pad = pad.at[:, half:-half, half:-half, :].set(xyz)
+
+    horiz = pad[:, half:half + H, :W, :] - pad[:, half:half + H, -W:, :]
+    vert = pad[:, :H, half:half + W, :] - pad[:, -H:, half:half + W, :]
+    horiz_in = pad[:, half:half + H, 1:W + 1, :] - pad[:, half:half + H, patch - 1:patch - 1 + W, :]
+    vert_in = pad[:, 1:H + 1, half:half + W, :] - pad[:, patch - 1:patch - 1 + H, half:half + W, :]
+
+    def orient(n):
+        flip = jnp.sum(n * xyz, axis=-1, keepdims=True) > 0
+        return jnp.where(flip, -n, n)
+
+    def unit(n):
+        return n / (jnp.linalg.norm(n, axis=-1, keepdims=True) + 1e-8)
+
+    n1 = unit(orient(jnp.cross(horiz_in, vert_in)))
+    n2 = unit(orient(jnp.cross(horiz, vert)))
+    n = orient(unit(n1 + n2))
+    if valid_mask is not None:
+        n = jnp.where(valid_mask, n, 0.0)
+    return n
+
+
+# ---------------------------------------------------------------------------
+# PWN edges — pairwise normal regression at image/normal edges
+# ---------------------------------------------------------------------------
+
+
+def pwn_edge_loss(key, pred_ss, gt, rgb, focal_length, mask_value=-1e-8,
+                  cos_theta1=0.3, cos_theta2=0.95, n_anchors: int = 3000):
+    """EdgeguidedNormalRegressionLoss (PWN_edges.py:104-245): normals from
+    (scale/shift-aligned) pred and gt depth; pairs sampled at RGB edges and
+    normal edges (distances 3-19); |cos| regression on nearly-parallel and
+    nearly-orthogonal gt pairs, plus a random-pair regression term.
+    Implements the evident per-image intent (see module docstring). → (B,)."""
+    B, H, W = pred_ss.shape[:3]
+    masks = gt > mask_value
+    normals_pred = surface_normal_from_depth(pred_ss, focal_length, masks)
+    normals_gt = surface_normal_from_depth(gt, focal_length, masks)
+
+    kernel3 = jnp.ones((3, 3), jnp.float32)
+
+    def per_image(key, n_p, n_g, im, g):
+        k1, k2, k3 = jax.random.split(key, 3)
+        edges_img, thetas_img = sobel_edges(im[..., 0])
+
+        # edges of the gt normal map (getNormalEdge :155-167): mean over
+        # channels of per-channel |sobel| gradients
+        kx = jnp.asarray([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], jnp.float32)
+        ky = jnp.asarray([[1, 2, 1], [0, 0, 0], [-1, -2, -1]], jnp.float32)
+
+        def conv_valid_c(x2d, k):
+            return jax.lax.conv_general_dilated(
+                x2d[None, :, :, None], k[:, :, None, None], (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )[0, :, :, 0]
+
+        gxm = jnp.mean(
+            jnp.stack([jnp.abs(conv_valid_c(n_g[..., c], kx)) for c in range(3)]),
+            axis=0,
+        )
+        gym = jnp.mean(
+            jnp.stack([jnp.abs(conv_valid_c(n_g[..., c], ky)) for c in range(3)]),
+            axis=0,
+        )
+        edges_normal = jnp.pad(jnp.sqrt(gxm**2 + gym**2), ((1, 1), (1, 1)))
+        thetas_normal = jnp.pad(jnp.arctan2(gym, gxm), ((1, 1), (1, 1)))
+
+        # zero normal edges at image border (PWN_edges.py:183-185)
+        border = jnp.ones((H, W), bool)
+        border = border.at[5:-5, 5:-5].set(False)
+        edges_normal = jnp.where(border, 0.0, edges_normal)
+
+        # dilated gt-depth edges mask zeroes both edge maps (:186-192)
+        edges_depth, _ = sobel_edges(g[..., 0])
+        depth_edge_mask = edges_depth >= 0.1 * jnp.max(edges_depth)
+        dil = jax.lax.reduce_window(
+            depth_edge_mask.astype(jnp.float32), 0.0, jax.lax.add,
+            (3, 3), (1, 1), [(1, 1), (1, 1)],
+        )
+        dil = jnp.clip(dil, 0, 1) > 0
+        edges_normal = jnp.where(dil, 0.0, edges_normal)
+        edges_img = jnp.where(dil, 0.0, edges_img)
+
+        A1, B1 = _edge_guided_pairs(k1, edges_img, thetas_img, H, W, n_anchors, 3, 20)
+        A2, B2 = _edge_guided_pairs(k2, edges_normal, thetas_normal, H, W, n_anchors, 3, 20)
+        A = jnp.concatenate([A1, A2])
+        Bi = jnp.concatenate([B1, B2])
+
+        np_f = n_p.reshape(-1, 3)
+        ng_f = n_g.reshape(-1, 3)
+        m_f = g.reshape(-1) > mask_value
+
+        cons = (m_f[A] & m_f[Bi]).astype(jnp.float32)
+        t_cos = jnp.abs(jnp.sum(ng_f[A] * ng_f[Bi], -1))
+        i_cos = jnp.abs(jnp.sum(np_f[A] * np_f[Bi], -1))
+
+        m75 = (t_cos < cos_theta1).astype(jnp.float32) * cons
+        m10 = (t_cos > cos_theta2).astype(jnp.float32) * cons
+        l75 = jnp.sum(jnp.abs(t_cos - i_cos) * m75) / (jnp.sum(m75) + 1e-8)
+        l10 = jnp.sum(jnp.abs(t_cos - i_cos) * m10) / (jnp.sum(m10) + 1e-8)
+
+        # random normal pairs over valid pixels (randomSamplingNormal :18-36)
+        ridx, _ = masked_sample(k3, m_f, 4 * n_anchors)
+        rA, rB = ridx[0::2], ridx[1::2]
+        rt = jnp.abs(jnp.sum(ng_f[rA] * ng_f[rB], -1))
+        ri = jnp.abs(jnp.sum(np_f[rA] * np_f[rB], -1))
+        l_rand = jnp.mean(jnp.abs(rt - ri))
+        return l75 + l10 + l_rand
+
+    keys = jax.random.split(key, B)
+    return jax.vmap(per_image)(keys, normals_pred, normals_gt, rgb, gt)
+
+
+# ---------------------------------------------------------------------------
+# PWN planes — virtual-normal consistency within plane instances
+# ---------------------------------------------------------------------------
+
+
+def pwn_planes_loss(key, gt_depth, pred_depth, planes_mask, focal_length,
+                    sample_groups: int = 5000, max_planes: int = 8,
+                    delta_cos=0.867, delta_diff=0.007):
+    """PWNPlanesLoss (PWN_planes.py:6-250): sample 3-point groups inside each
+    plane instance, compute virtual normals, penalize deviation from the
+    plane's mean normal. planes_mask: (B, H, W) int instance ids (0 = none).
+    Static shapes: up to max_planes instances per image, sample_groups
+    groups per plane. → (B,)."""
+    B, H, W = pred_depth.shape[:3]
+
+    def per_image(key, pred, planes, f):
+        xyz = depth_to_xyz(pred[None], f[None])[0].reshape(-1, 3)  # (P, 3)
+        planes_flat = planes.reshape(-1)
+
+        def per_plane(plane_key, plane_id):
+            mask = (planes_flat == plane_id) & (plane_id > 0)
+            n_valid = jnp.sum(mask)
+            idx, _ = masked_sample(plane_key, mask, 3 * sample_groups)
+            p1 = xyz[idx[0::3]]
+            p2 = xyz[idx[1::3]]
+            p3 = xyz[idx[2::3]]
+            # validity: plane has enough support (select_index :72-107:
+            # planes with < 0.6*3*groups valid pixels are dropped — here:
+            # require a minimum pixel count)
+            plane_ok = n_valid >= 100
+
+            # degenerate-triangle filter (filter_mask :140-166): reject
+            # near-collinear (cos > delta) or near-coincident (xy) groups
+            def pairdiff(a, b):
+                return (a - b)[:, :2]
+
+            d12, d13, d23 = pairdiff(p2, p1), pairdiff(p3, p1), pairdiff(p3, p2)
+            diffs = jnp.stack([d12, d13, d23], 1)  # (N, 3, 2)
+            norms = jnp.linalg.norm(diffs, axis=-1) + 1e-8
+            cosm = jnp.einsum("nic,njc->nij", diffs, diffs) / (
+                norms[:, :, None] * norms[:, None, :]
+            )
+            mask_cos = jnp.sum(
+                (cosm > delta_cos) | (cosm < -delta_cos), axis=(1, 2)
+            ) > 3
+            near = jnp.sum(jnp.abs(diffs[..., 0]) < delta_diff, 1) > 0
+            near &= jnp.sum(jnp.abs(diffs[..., 1]) < delta_diff, 1) > 0
+            group_ok = (~(mask_cos | near)) & plane_ok
+
+            vn = jnp.cross(p2 - p1, p3 - p1)
+            vn = vn / (jnp.linalg.norm(vn, axis=-1, keepdims=True) + 1e-8)
+            flip = jnp.sum(vn * p1, -1) > 0
+            vn = jnp.where(flip[:, None], -vn, vn)
+
+            w = group_ok.astype(jnp.float32)[:, None]
+            aver = jnp.sum(vn * w, 0)
+            aver = aver / (jnp.linalg.norm(aver) + 1e-5)
+            cos_diff = (1.0 - jnp.sum(vn * aver, -1)) * w[:, 0]
+            return jnp.sum(cos_diff), jnp.sum(w)
+
+        plane_ids = jnp.arange(1, max_planes + 1)
+        keys = jax.random.split(key, max_planes)
+        losses, counts = jax.vmap(per_plane)(keys, plane_ids)
+        return jnp.sum(losses), jnp.sum(counts)
+
+    keys = jax.random.split(key, B)
+    losses, counts = jax.vmap(per_image)(keys, pred_depth, planes_mask, focal_length)
+    return losses / (jnp.sum(counts) + 1e-8)
+
+
+# ---------------------------------------------------------------------------
+# closed-form scale/shift alignment + criterion
+# ---------------------------------------------------------------------------
+
+
+def recover_scale_shift_depth(pred, gt, min_threshold=-1e-8, max_threshold=10.1):
+    """Per-image closed-form 2x2 LSQ of pred→gt over valid pixels
+    (multi_depth_model_auxiv2.py:550-575). pred/gt: (B, H, W, 1)."""
+    B = pred.shape[0]
+    mask = ((gt > min_threshold) & (gt < max_threshold)).astype(pred.dtype)
+    p = pred.reshape(B, -1)
+    g = gt.reshape(B, -1)
+    m = mask.reshape(B, -1)
+
+    a00 = jnp.sum(m * p * p, 1) + 1e-6
+    a01 = jnp.sum(m * p, 1)
+    a11 = jnp.sum(m, 1) + 1e-6
+    b0 = jnp.sum(m * p * g, 1)
+    b1 = jnp.sum(m * g, 1)
+    det = a00 * a11 - a01 * a01
+    safe = jnp.where(det != 0, det, 1.0)
+    scale = (a11 * b0 - a01 * b1) / safe
+    shift = (-a01 * b0 + a00 * b1) / safe
+    return pred * scale[:, None, None, None] + shift[:, None, None, None]
+
+
+def criterion(key, pred_depth, batch, loss_mode: str, input_size=(448, 448)):
+    """ModelLoss.decoder_loss (multi_depth_model_auxiv2.py:209-341): assemble
+    the active losses by substring match on loss_mode. batch: dict with
+    'depth' (B,H,W,1), 'rgb' (B,H,W,3), 'planes' (B,H,W) int,
+    'focal_length' (B,), 'quality_flg' (B,). Returns (loss_dict,
+    per_image_total (B,))."""
+    k_rank, k_edge, k_plane = jax.random.split(key, 3)
+    gt = batch["depth"]
+    B = gt.shape[0]
+    total = jnp.zeros((B,), jnp.float32)
+    loss = {}
+    lm = loss_mode.lower()
+
+    mid_q = (batch["quality_flg"] >= 2).astype(jnp.float32)
+    high_q = (batch["quality_flg"] == 3).astype(jnp.float32)
+
+    needs_ss = ("_pairwise-normal-regress-edge_" in lm
+                or "_pairwise-normal-regress-plane_" in lm)
+    pred_ss = recover_scale_shift_depth(pred_depth, gt) if needs_ss else None
+
+    if "_pairwise-normal-regress-plane_" in lm:
+        cur = pwn_planes_loss(
+            k_plane, gt, pred_ss, batch["planes"], batch["focal_length"]
+        )
+        loss["pairwise-normal-regress-plane_loss"] = jnp.sum(cur)
+        total = total + cur
+
+    if "_pairwise-normal-regress-edge_" in lm:
+        cur = pwn_edge_loss(
+            k_edge, pred_ss, gt, batch["rgb"], batch["focal_length"]
+        ) * high_q  # only quality==3 images (:300-310)
+        loss["pairwise-normal-regress-edge_loss"] = jnp.sum(cur)
+        total = total + cur
+
+    if "_meanstd-tanh_" in lm:
+        cur = ilnr_loss(pred_depth, gt) * mid_q  # quality>=2 (:262-270)
+        loss["meanstd-tanh_loss"] = jnp.sum(cur)
+        total = total + cur
+
+    if "_ranking-edge_" in lm:
+        cur = ranking_edge_loss(k_rank, pred_depth, gt, batch["rgb"])
+        loss["ranking-edge_loss"] = jnp.sum(cur)
+        total = total + cur
+
+    if "_msgil-normal_" in lm:
+        cur = msgil_loss(pred_depth, gt) * 0.1
+        loss["msg_normal_loss"] = jnp.sum(cur)
+        total = total + cur
+
+    loss["total_loss"] = sum(loss.values()) if loss else jnp.zeros((), jnp.float32)
+    return loss, total

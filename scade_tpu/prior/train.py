@@ -1,0 +1,221 @@
+"""cIMLE prior training: AdaIn stat init, z-recaching, SGD epochs.
+
+Reference semantics (ambiguity_aware_prior/tools/train_single.py — the
+working variant; train_dataparallel.py's AdaIn init is dead code behind a
+debug exit(), SURVEY.md §2.3):
+
+- epoch 0: **AdaIn init** — over a 100-image subset, draw mini_batch_size=5
+  z per image, record the spatial-mean of the 4 post-AdaIn activations,
+  then channel-wise mean/var over the subset → ``mean_var_adain.npy``;
+  those shifts recenter every later AdaIn application (:286-392).
+- every ``refresh_z``=10 epochs: **z-recache** — per image draw
+  num_samples=20 z in minibatches of 5, forward + loss, keep the argmin-
+  total-loss z (:394-491). This is the cIMLE core: each image gets the
+  latent that currently explains it best.
+- each epoch: SGD(momentum=0.9, weight_decay 5e-4) over (image, cached z)
+  with per-group LRs — encoder base_lr, decoder base_lr*SCALE_DECODER_LR,
+  AdaIn style MLPs mlp_lr — and global grad-norm clip 10
+  (multi_depth_model_auxiv2.py:385-450).
+
+TPU design: the loss criterion + backward is ONE jitted step; z-recache
+reuses a jitted forward+loss over a (B*mini, ...) batch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from scade_tpu.prior.losses import criterion
+from scade_tpu.prior.model import PriorConfig, get_adain_init_act, prior_apply
+
+
+@dataclasses.dataclass(frozen=True)
+class PriorTrainConfig:
+    base_lr: float = 1e-3  # cfg.TRAIN.BASE_LR (config.py:79)
+    mlp_lr: float = 1e-3  # --mlp_lr flag
+    scale_decoder_lr: float = 1.0  # cfg.TRAIN.SCALE_DECODER_LR (config.py:78)
+    weight_decay: float = 5e-4
+    grad_clip: float = 10.0
+    num_samples: int = 20  # z draws per image for recaching
+    mini_batch_size: int = 5
+    refresh_z: int = 10
+    max_epoch: int = 60
+    batch_size: int = 4
+    d_latent: int = 32
+    loss_mode: str = (
+        "_ranking-edge_pairwise-normal-regress-edge_msgil-normal_"
+        "meanstd-tanh_pairwise-normal-regress-plane_"
+    )  # train_single.py:38
+
+
+def _param_label(path) -> str:
+    names = [str(getattr(p, "key", "")) for p in path]
+    if any("style_mod" in n for n in names):
+        return "style"
+    if names and names[0] == "encoder":
+        return "encoder"
+    return "decoder"
+
+
+def make_prior_optimizer(params, tc: PriorTrainConfig):
+    """SGD momentum 0.9 with per-group LRs + decoupled L2 + grad-norm clip 10
+    (ModelOptimizer_AdaIn, multi_depth_model_auxiv2.py:385-450).
+
+    torch SGD applies weight_decay by adding wd*param to the gradient
+    BEFORE momentum — optax.sgd + add_decayed_weights ordering replicates
+    that (add decayed weights first, then trace)."""
+    labels = jax.tree_util.tree_map_with_path(lambda p, _: _param_label(p), params)
+
+    def group(lr):
+        return optax.chain(
+            optax.add_decayed_weights(tc.weight_decay),
+            optax.sgd(learning_rate=lr, momentum=0.9),
+        )
+
+    opt = optax.chain(
+        optax.clip_by_global_norm(tc.grad_clip),
+        optax.multi_transform(
+            {
+                "encoder": group(tc.base_lr),
+                "decoder": group(tc.base_lr * tc.scale_decoder_lr),
+                "style": group(tc.mlp_lr),
+            },
+            labels,
+        ),
+    )
+    return opt
+
+
+def compute_adain_stats(model, variables, batches: Iterable[dict], key,
+                        d_latent: int, mini_batch_size: int = 5,
+                        out_path: Optional[str] = None):
+    """AdaIn stat init (train_single.py:286-392). `batches` yields dicts with
+    'rgb' (1, H, W, 3). Returns shifts dict {mean0..3, var0..3}."""
+    from scade_tpu.prior.model import zero_shifts
+
+    zero = zero_shifts(model.cfg)
+
+    @jax.jit
+    def acts_fn(rgb, z):
+        rgb_rep = jnp.repeat(rgb, mini_batch_size, axis=0)
+        acts = get_adain_init_act(model, variables, zero, rgb_rep, z)
+        # spatial mean per channel, then mean over the z minibatch (:336-348)
+        return [a.mean(axis=(1, 2)).mean(axis=0) for a in acts]
+
+    per_image = [[], [], [], []]
+    for i, batch in enumerate(batches):
+        key, k = jax.random.split(key)
+        z = jax.random.normal(k, (mini_batch_size, d_latent), jnp.float32)
+        means = acts_fn(jnp.asarray(batch["rgb"][:1]), z)
+        for j in range(4):
+            per_image[j].append(np.asarray(means[j]))
+
+    shifts = {}
+    for j in range(4):
+        stack = np.stack(per_image[j])  # (n_images, C)
+        shifts[f"mean{j}"] = jnp.asarray(stack.mean(0), jnp.float32)
+        # torch.var defaults to the unbiased estimator (:357-360)
+        shifts[f"var{j}"] = jnp.asarray(stack.var(0, ddof=1), jnp.float32)
+
+    if out_path is not None:
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+        np.save(
+            out_path,
+            {k: np.asarray(v) for k, v in shifts.items()},
+        )
+    return shifts
+
+
+def load_mean_var_adain(path: str):
+    """Read a reference-format mean_var_adain.npy sidecar
+    (tools/utils.py:222-245)."""
+    d = np.load(path, allow_pickle=True).item()
+    return {k: jnp.asarray(np.asarray(v).squeeze(), jnp.float32) for k, v in d.items()}
+
+
+def make_loss_fn(model, tc: PriorTrainConfig, train: bool):
+    def loss_fn(params, batch_stats, shifts, batch, z, key):
+        variables = {"params": params, "batch_stats": batch_stats}
+        if train:
+            depth, mut = prior_apply(
+                model, variables, shifts, batch["rgb"], z, train=True
+            )
+            new_stats = mut["batch_stats"]
+        else:
+            depth = prior_apply(model, variables, shifts, batch["rgb"], z)
+            new_stats = batch_stats
+        loss_dict, total_raw = criterion(key, depth, batch, tc.loss_mode)
+        total = jnp.mean(total_raw)
+        return total, (loss_dict, total_raw, new_stats)
+
+    return loss_fn
+
+
+def make_recache_step(model, tc: PriorTrainConfig):
+    """One jitted forward+loss over (B*mini) replicated images → per-(image,
+    draw) totals (train_single.py:394-491)."""
+    loss_fn = make_loss_fn(model, tc, train=False)
+
+    @jax.jit
+    def step(params, batch_stats, shifts, batch, key):
+        B = batch["rgb"].shape[0]
+        k_z, k_loss = jax.random.split(key)
+        z = jax.random.normal(
+            k_z, (B * tc.mini_batch_size, tc.d_latent), jnp.float32
+        )
+        rep = lambda x: jnp.repeat(x, tc.mini_batch_size, axis=0)
+        batch_rep = {k: rep(v) for k, v in batch.items()}
+        _, (_, total_raw, _) = loss_fn(
+            params, batch_stats, shifts, batch_rep, z, k_loss
+        )
+        return total_raw.reshape(B, tc.mini_batch_size), z.reshape(
+            B, tc.mini_batch_size, -1
+        )
+
+    return step
+
+
+def recache_z(model, variables, shifts, tc: PriorTrainConfig, batches, key):
+    """Per-image argmin-loss z over num_samples draws. `batches` yields
+    collated dicts; returns (n_images, d_latent) numpy."""
+    step = make_recache_step(model, tc)
+    num_sets = tc.num_samples // tc.mini_batch_size
+    selected = []
+    for batch in batches:
+        B = batch["rgb"].shape[0]
+        losses, zs = [], []
+        for _ in range(num_sets):
+            key, k = jax.random.split(key)
+            batch_j = {k2: jnp.asarray(v) for k2, v in batch.items()}
+            l, z = step(
+                variables["params"], variables["batch_stats"], shifts, batch_j, k
+            )
+            losses.append(np.asarray(l))
+            zs.append(np.asarray(z))
+        losses = np.concatenate(losses, 1)  # (B, num_samples)
+        zs = np.concatenate(zs, 1)
+        best = np.argmin(losses, axis=1)
+        selected.append(zs[np.arange(B), best])
+    return np.concatenate(selected, 0)
+
+
+def make_train_step(model, tc: PriorTrainConfig, opt):
+    loss_fn = make_loss_fn(model, tc, train=True)
+
+    @jax.jit
+    def step(params, batch_stats, opt_state, shifts, batch, z, key):
+        (total, (loss_dict, _, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params, batch_stats, shifts, batch, z, key)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_stats, opt_state, total, loss_dict
+
+    return step

@@ -51,6 +51,10 @@ class RenderConfig:
     nerf_coarse: NeRFConfig = dataclasses.field(default_factory=NeRFConfig)
     nerf_fine: Optional[NeRFConfig] = dataclasses.field(default_factory=NeRFConfig)
     input_ch_cam: int = 0
+    # evaluate PE+MLP with the fused Pallas kernel (ops/fused_mlp.py) when
+    # the architecture is supported; ignored otherwise
+    use_fused: bool = False
+    fused_tile: int = 2048
 
     def test_mode(self) -> "RenderConfig":
         """perturb off, no density noise (reference render_kwargs_test :505-507)."""
@@ -74,6 +78,8 @@ def make_render_config(
     use_viewdirs: bool = True,
     input_ch_cam: int = 0,
     compute_dtype: Any = jnp.float32,
+    use_fused: bool = False,
+    fused_tile: int = 2048,
 ) -> RenderConfig:
     """Build a RenderConfig from reference-style flags (create_nerf :422-509)."""
     from scade_tpu.ops.embedding import get_embedder
@@ -106,6 +112,8 @@ def make_render_config(
         nerf_coarse=mk(netdepth, netwidth),
         nerf_fine=mk(netdepth_fine, netwidth_fine) if n_importance > 0 else None,
         input_ch_cam=input_ch_cam,
+        use_fused=use_fused,
+        fused_tile=fused_tile,
     )
 
 
@@ -125,6 +133,21 @@ def _query_network(params, nerf_cfg, rc: RenderConfig, pts, viewdirs, scene: Sce
     pts: (R, S, 3); viewdirs: (R, 3) or None. Returns raw (R, S, 4).
     """
     x = (pts - scene.bb_center) * scene.bb_scale
+
+    if rc.use_fused and viewdirs is not None:
+        from scade_tpu.ops.fused_mlp import FusedCfg, fused_nerf_apply, supports_fusion
+
+        if supports_fusion(nerf_cfg, rc.embed_pos, rc.embed_dirs, rc.input_ch_cam):
+            R, S = pts.shape[:2]
+            dirs_flat = jnp.broadcast_to(viewdirs[:, None, :], (R, S, 3)).reshape(-1, 3)
+            fcfg = FusedCfg(nerf_cfg.D, nerf_cfg.W, rc.embed_pos.num_freqs,
+                            nerf_cfg.skips)
+            raw = fused_nerf_apply(
+                params, fcfg, x.reshape(-1, 3), dirs_flat,
+                rc.fused_tile, nerf_cfg.compute_dtype,
+            )
+            return raw.reshape(R, S, 4)
+
     embedded = positional_encoding(x, rc.embed_pos)
     if viewdirs is not None:
         dirs = positional_encoding(viewdirs, rc.embed_dirs)

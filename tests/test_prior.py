@@ -1,0 +1,229 @@
+"""cIMLE prior subsystem tests: model shapes/z-sensitivity, loss suite
+behavior, AdaIn stat init, z-recache selection, optimizer grouping, torch
+weight-translation round trip, and the dump tool on a synthetic scene."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from scade_tpu.prior import losses as L
+from scade_tpu.prior.model import (
+    PriorConfig,
+    get_adain_init_act,
+    init_prior,
+    prior_apply,
+    zero_shifts,
+)
+
+SMALL = PriorConfig(d_latent=8).with_small()
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    model, variables = init_prior(jax.random.PRNGKey(0), SMALL, image_size=(64, 64))
+    return model, variables
+
+
+def test_model_shapes_and_z_sensitivity(small_model):
+    model, variables = small_model
+    sh = zero_shifts(SMALL)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 64, 64, 3))
+    z1 = jax.random.normal(jax.random.PRNGKey(2), (2, 8))
+    z2 = jax.random.normal(jax.random.PRNGKey(3), (2, 8))
+    d1 = prior_apply(model, variables, sh, x, z1)
+    d2 = prior_apply(model, variables, sh, x, z2)
+    assert d1.shape == (2, 64, 64, 1)
+    assert np.isfinite(np.asarray(d1)).all()
+    # cIMLE: different z must give different depth
+    assert float(jnp.abs(d1 - d2).max()) > 0
+
+    acts = get_adain_init_act(model, variables, sh, x, z1)
+    assert [a.shape[-1] for a in acts] == [64, 256, 512, 1024]
+
+
+def test_losses_sane():
+    key = jax.random.PRNGKey(0)
+    rng = np.random.default_rng(0)
+    B, H, W = 1, 32, 48
+    gt = jnp.asarray(rng.uniform(0.5, 9.0, (B, H, W, 1)), jnp.float32)
+    noisy = gt + jnp.asarray(rng.normal(0, 0.3, (B, H, W, 1)), jnp.float32)
+    rgb = jnp.asarray(rng.uniform(0, 1, (B, H, W, 3)), jnp.float32)
+    batch = {
+        "depth": gt, "rgb": rgb,
+        "planes": jnp.asarray(rng.integers(0, 3, (B, H, W)), jnp.int32),
+        "focal_length": jnp.full((B,), 250.0),
+        "quality_flg": jnp.full((B,), 2, jnp.int32),
+    }
+    lm = ("_ranking-edge_pairwise-normal-regress-edge_msgil-normal_"
+          "meanstd-tanh_pairwise-normal-regress-plane_")
+    _, total_noisy = L.criterion(key, noisy, batch, lm)
+    ld, total_perfect = L.criterion(key, gt, batch, lm)
+    assert np.isfinite(np.asarray(total_noisy)).all()
+    assert float(total_perfect.sum()) < float(total_noisy.sum())
+    # quality_flg 2 gates the pwn-edge term to zero
+    assert float(ld["pairwise-normal-regress-edge_loss"]) == 0.0
+
+
+def test_surface_normals_unit_norm():
+    rng = np.random.default_rng(1)
+    depth = jnp.asarray(rng.uniform(1, 5, (1, 24, 24, 1)), jnp.float32)
+    n = L.surface_normal_from_depth(depth, jnp.asarray([100.0]), depth > 0)
+    norms = np.asarray(jnp.linalg.norm(n, axis=-1))
+    np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+
+
+def test_recover_scale_shift_exact():
+    rng = np.random.default_rng(2)
+    gt = jnp.asarray(rng.uniform(1, 9, (2, 16, 16, 1)), jnp.float32)
+    pred = gt * 0.37 - 1.2
+    fixed = L.recover_scale_shift_depth(pred, gt)
+    np.testing.assert_allclose(np.asarray(fixed), np.asarray(gt), atol=1e-3)
+
+
+def test_adain_stats_and_recache(small_model):
+    from scade_tpu.prior.train import (
+        PriorTrainConfig,
+        compute_adain_stats,
+        recache_z,
+    )
+
+    model, variables = small_model
+    rng = np.random.default_rng(0)
+    # cheap loss mode: the full 5-loss criterion is covered by
+    # test_losses_sane; compiling it again over the replicated recache batch
+    # costs minutes on CPU for no extra coverage
+    tc = PriorTrainConfig(
+        d_latent=8, num_samples=4, mini_batch_size=2,
+        loss_mode="_meanstd-tanh_msgil-normal_",
+    )
+
+    def batches(n, bs=1):
+        for i in range(n):
+            yield {
+                "rgb": rng.uniform(-1, 1, (bs, 64, 64, 3)).astype(np.float32),
+                "depth": rng.uniform(0.5, 9, (bs, 64, 64, 1)).astype(np.float32),
+                "planes": np.zeros((bs, 64, 64), np.int32),
+                "focal_length": np.full((bs,), 200.0, np.float32),
+                "quality_flg": np.full((bs,), 2, np.int32),
+            }
+
+    shifts = compute_adain_stats(
+        model, variables, ({"rgb": b["rgb"]} for b in batches(3)),
+        jax.random.PRNGKey(0), d_latent=8, mini_batch_size=2,
+    )
+    assert shifts["mean0"].shape == (64,)
+    assert shifts["var1"].shape == (256,)
+    assert np.isfinite(np.asarray(shifts["var3"])).all()
+
+    z = recache_z(model, variables, shifts, tc, batches(2), jax.random.PRNGKey(1))
+    assert z.shape == (2, 8)
+    assert np.isfinite(z).all()
+
+
+def test_optimizer_grouping(small_model):
+    from scade_tpu.prior.train import PriorTrainConfig, make_prior_optimizer, _param_label
+
+    model, variables = small_model
+    labels = jax.tree_util.tree_map_with_path(
+        lambda p, _: _param_label(p), variables["params"]
+    )
+    flat = jax.tree.leaves(labels)
+    assert "style" in flat and "encoder" in flat and "decoder" in flat
+    opt = make_prior_optimizer(variables["params"], PriorTrainConfig(d_latent=8))
+    state = opt.init(variables["params"])
+    grads = jax.tree.map(jnp.ones_like, variables["params"])
+    updates, _ = opt.update(grads, state, variables["params"])
+    assert np.isfinite(
+        np.asarray(jax.tree.leaves(updates)[0])
+    ).all()
+
+
+def test_torch_translation_roundtrip(small_model):
+    from scade_tpu.prior.translate import (
+        check_translation,
+        params_from_torch_state_dict,
+        params_to_torch_state_dict,
+    )
+
+    model, variables = small_model
+    sd = params_to_torch_state_dict(
+        variables["params"], variables["batch_stats"], SMALL
+    )
+    assert any(k.startswith("encoder_modules.layer1.0.conv1") for k in sd)
+    params, batch_stats = params_from_torch_state_dict(sd, SMALL)
+    problems = check_translation(variables, params, batch_stats)
+    assert problems == [], problems[:5]
+    # value round trip on a couple of leaves
+    np.testing.assert_allclose(
+        np.asarray(params["encoder"]["conv1"]["kernel"]),
+        np.asarray(variables["params"]["encoder"]["conv1"]["kernel"]),
+    )
+    np.testing.assert_allclose(
+        np.asarray(batch_stats["decoder"]["outconv"]["BatchNorm_0"]["mean"]),
+        np.asarray(
+            variables["batch_stats"]["decoder"]["outconv"]["BatchNorm_0"]["mean"]
+        ),
+    )
+
+
+def test_prior_metrics():
+    from scade_tpu.prior.metrics import evaluate_rel_err, recover_metric_depth
+
+    rng = np.random.default_rng(0)
+    gt = rng.uniform(0.5, 5, (32, 32))
+    pred_rel = gt * 0.4 + 0.7  # linearly related prior output
+    aligned, a, b = recover_metric_depth(pred_rel, gt)
+    np.testing.assert_allclose(aligned, gt, atol=1e-6)
+
+    abs_rel, sq_rel, silog, delta1, whdr = evaluate_rel_err(
+        gt * 1.01, gt, rng=np.random.default_rng(1)
+    )
+    assert abs_rel < 0.02 and delta1 > 0.99 and whdr < 0.5
+
+
+def test_dump_tool_on_synthetic_scene(tmp_path, small_model):
+    from scade_tpu.prior.dump import dump_depth_hypotheses
+    from scade_tpu.prior.model import zero_shifts
+
+    # build a synthetic scene with the fixture generator
+    scene = tmp_path / "scene"
+    subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(__file__), "..", "tools",
+                      "make_synthetic_scene.py"),
+         str(scene), "--H", "48", "--W", "64", "--K", "2",
+         "--n_train", "2", "--n_val", "0", "--n_test", "1", "--n_video", "0"],
+        check=True,
+    )
+    model, variables = small_model
+
+    # monkeypatch dataset crop size for speed
+    import scade_tpu.prior.dump as dump_mod
+    from scade_tpu.prior.data import FinetuneDataset
+
+    orig_init = FinetuneDataset.__init__
+
+    def small_init(self, *a, **k):
+        k["crop_size"] = (64, 64)
+        orig_init(self, *a, **k)
+
+    FinetuneDataset.__init__ = small_init
+    try:
+        out = dump_depth_hypotheses(
+            model, variables, zero_shifts(SMALL), str(scene), "dump_test",
+            d_latent=8, num_hypothesis=2, mini_batch_size=2,
+        )
+    finally:
+        FinetuneDataset.__init__ = orig_init
+
+    files = sorted(os.listdir(out))
+    assert files == ["0_0.npy", "0_1.npy", "1_0.npy", "1_1.npy"]
+    hyp = np.load(os.path.join(out, files[0]))
+    assert hyp.shape == (48, 64)
+    assert np.isfinite(hyp).all()

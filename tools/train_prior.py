@@ -1,0 +1,143 @@
+#!/usr/bin/env python
+"""Train the ambiguity-aware cIMLE depth prior on a scene (TPU-native CLI).
+
+Mirrors the reference trainer (reference:
+ambiguity_aware_prior/tools/train_single.py): epoch-0 AdaIn stat init →
+mean_var_adain.npy, z-recache every --refresh_z epochs, SGD epochs over
+(image, cached z), checkpoint every 8 epochs.
+
+Usage:
+  python tools/train_prior.py --scene_dir <scene> --log_dir logs/prior \
+      --epochs 60 [--d_latent 32] [--batchsize 4]
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scene_dir", required=True,
+                    help="scene root containing train/ + transforms_train.json")
+    ap.add_argument("--log_dir", default="logs/prior")
+    ap.add_argument("--dataset_name", default="scannet")
+    ap.add_argument("--epochs", type=int, default=60)
+    ap.add_argument("--batchsize", type=int, default=4)
+    ap.add_argument("--d_latent", type=int, default=32)
+    ap.add_argument("--base_lr", type=float, default=1e-3)
+    ap.add_argument("--mlp_lr", type=float, default=1e-3)
+    ap.add_argument("--refresh_z", type=int, default=10)
+    ap.add_argument("--num_samples", type=int, default=20)
+    ap.add_argument("--mini_batch_size", type=int, default=5)
+    ap.add_argument("--adain_subset", type=int, default=100)
+    ap.add_argument("--seed_num", type=int, default=0)
+    ap.add_argument("--small_model", action="store_true",
+                    help="tiny ResNeXt variant (tests only)")
+    ap.add_argument("--ckpt", default=None, help="resume/finetune checkpoint")
+    ap.add_argument("--image_size", type=int, default=448)
+    args = ap.parse_args()
+
+    if os.environ.get("SCADE_PLATFORM"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["SCADE_PLATFORM"])
+
+    import jax
+    import numpy as np
+    from flax import serialization
+
+    from scade_tpu.prior.data import FinetuneDataset, collate
+    from scade_tpu.prior.model import PriorConfig, init_prior, zero_shifts
+    from scade_tpu.prior.train import (
+        PriorTrainConfig,
+        compute_adain_stats,
+        load_mean_var_adain,
+        make_prior_optimizer,
+        make_train_step,
+        recache_z,
+    )
+
+    os.makedirs(args.log_dir, exist_ok=True)
+    cfg = PriorConfig(d_latent=args.d_latent)
+    if args.small_model:
+        cfg = cfg.with_small()
+    tc = PriorTrainConfig(
+        base_lr=args.base_lr, mlp_lr=args.mlp_lr,
+        num_samples=args.num_samples, mini_batch_size=args.mini_batch_size,
+        refresh_z=args.refresh_z, max_epoch=args.epochs,
+        batch_size=args.batchsize, d_latent=args.d_latent,
+    )
+    key = jax.random.PRNGKey(args.seed_num)
+
+    ds = FinetuneDataset(os.path.join(args.scene_dir, "train"), args.dataset_name)
+    print(f"{len(ds)} training images")
+
+    key, k_init = jax.random.split(key)
+    model, variables = init_prior(
+        k_init, cfg, image_size=(args.image_size, args.image_size)
+    )
+    if args.ckpt:
+        with open(args.ckpt, "rb") as fp:
+            variables = serialization.from_bytes(variables, fp.read())
+        print(f"restored {args.ckpt}")
+
+    def batches(bs, limit=None):
+        n = len(ds) if limit is None else min(limit, len(ds))
+        for s in range(0, n, bs):
+            yield collate([ds[i] for i in range(s, min(s + bs, n))])
+
+    opt = make_prior_optimizer(variables["params"], tc)
+    opt_state = opt.init(variables["params"])
+    step_fn = make_train_step(model, tc, opt)
+
+    shifts = zero_shifts(cfg)
+    mv_path = os.path.join(args.log_dir, "mean_var_adain.npy")
+    selected_z = None
+    for epoch in range(args.epochs):
+        if epoch == 0:
+            print("Initializing AdaIn layers")
+            key, k = jax.random.split(key)
+            shifts = compute_adain_stats(
+                model, variables, batches(1, args.adain_subset), k,
+                args.d_latent, tc.mini_batch_size, out_path=mv_path,
+            )
+            shifts = load_mean_var_adain(mv_path)
+            print("AdaIn weights init done.")
+
+        if epoch % tc.refresh_z == 0:
+            print("Recaching z-codes...")
+            key, k = jax.random.split(key)
+            selected_z = recache_z(
+                model, variables, shifts, tc, batches(args.batchsize), k
+            )
+            print(f"cached z: {selected_z.shape}")
+
+        epoch_losses = []
+        idx = 0
+        for batch in batches(args.batchsize):
+            import jax.numpy as jnp
+
+            B = batch["rgb"].shape[0]
+            z = jnp.asarray(selected_z[idx : idx + B])
+            idx += B
+            key, k = jax.random.split(key)
+            params, batch_stats, opt_state, total, loss_dict = step_fn(
+                variables["params"], variables["batch_stats"], opt_state,
+                shifts, {k2: jnp.asarray(v) for k2, v in batch.items()}, z, k,
+            )
+            variables = {"params": params, "batch_stats": batch_stats}
+            epoch_losses.append(float(total))
+        print(f"Epoch {epoch}/{args.epochs}: loss {np.mean(epoch_losses):.5f}")
+
+        if epoch % 8 == 0 or epoch == args.epochs - 1:
+            path = os.path.join(args.log_dir, f"epoch{epoch}_step0.msgpack")
+            with open(path, "wb") as fp:
+                fp.write(serialization.to_bytes(variables))
+            print(f"saved {path}")
+
+
+if __name__ == "__main__":
+    main()
