@@ -237,6 +237,16 @@ def load_scene_scannet(
     return scene
 
 
+def load_scene_nogt(basedir, train_json="transforms_train.json") -> Scene:
+    """Scene with depth files forced to .png and no GT depth / hypotheses
+    (data/load_scene.py:167-240)."""
+    imgs, depths, valid, poses, intr, H, W, near, far, dsf, i_split, fnames = (
+        _load_splits(basedir, train_json, depth_ext_png=True)
+    )
+    return Scene(imgs, depths, valid, poses, H, W, intr, near, far, i_split,
+                 None, None, None, fnames)
+
+
 def load_scene_processed(
     basedir,
     cimle_dir,

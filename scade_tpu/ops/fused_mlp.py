@@ -164,6 +164,13 @@ def _fused_forward(params, cfg, pts, viewdirs, tile: int, compute_dtype):
         viewdirs = jnp.pad(viewdirs, ((0, pad), (0, 0)))
 
     wb = _flatten_params(params)
+    # cast weights once, outside the kernel: bf16 weights halve the VMEM
+    # footprint (they are revolving-buffered per grid step) and skip a
+    # per-tile cast on the VPU. Biases stay f32 (added post-accumulation).
+    wb = [
+        w.astype(compute_dtype) if w.ndim == 2 and w.shape[0] > 1 else w
+        for w in wb
+    ]
     rep, scale, is_sin, is_cos = _pe_constants(cfg.num_freqs)
     consts = [jnp.asarray(a) for a in (rep, scale, is_sin, is_cos)]
     point_spec = pl.BlockSpec((tile, 3), lambda i: (i, 0), memory_space=pltpu.VMEM)

@@ -109,6 +109,28 @@ def compute_depth_loss(depth_map, z_vals, weights, target_depth, target_valid_de
     return frac * mean_nll
 
 
+def precompute_quadratic_samples(near, far, num_samples: int):
+    """Quadratic depth spacing between near and far (run_nerf_helpers.py:16-23)."""
+    start = 0.1
+    x = jnp.linspace(0.0, 1.0, num_samples, dtype=jnp.float32)
+    c = near
+    a = (far - near) / (1.0 + 2.0 * start)
+    b = 2.0 * start * a
+    return a * x**2 + b * x + c
+
+
+def compute_monosdf_styleloss(pred_depth, target_depth, mask=None):
+    """Scale/shift-invariant MonoSDF-style depth loss (run_nerf_helpers.py:73-89).
+    pred_depth: (N,); target_depth: (1, N, 1)-broadcastable target."""
+    pred = pred_depth[None, :, None]
+    target = jnp.asarray(target_depth).reshape(1, -1, 1)
+    m = jnp.ones_like(pred) if mask is None else mask[None, :, None]
+    scale, shift = compute_scale_and_shift(pred, target, m)
+    pred_ssi = scale.reshape(-1, 1, 1) * pred + shift.reshape(-1, 1, 1)
+    # p=2 norm over the singleton last axis == |x|
+    return jnp.mean(jnp.abs(pred_ssi - target))
+
+
 def compute_scale_and_shift(prediction, target, mask):
     """Closed-form per-image least-squares depth alignment (run_nerf_helpers.py:51-71)."""
     a_00 = jnp.sum(mask * prediction * prediction, axis=(1, 2))

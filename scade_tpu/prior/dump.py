@@ -37,6 +37,8 @@ def dump_depth_hypotheses(
     default_shift: float = 0.0,
     seed: int = 0,
     save_previews: bool = False,
+    sfm_scaling_factor: float = 1000.0,
+    sfm_far_clip: Optional[float] = None,
 ):
     """Write K aligned hypothesis .npy files per train image. Returns the
     output directory."""
@@ -60,7 +62,11 @@ def dump_depth_hypotheses(
     for idx in range(len(ds)):
         ex = ds[idx]
         img_id = os.path.basename(ex.rgb_path).split(".")[0]
-        sfm_depth = ds.load_sfm_depth(idx)
+        sfm_depth = ds.load_sfm_depth(idx) * (1000.0 / sfm_scaling_factor)
+        if sfm_far_clip is not None:
+            # wild scenes drop SfM points beyond the far plane
+            # (output_depth_hypothesis_wild.py:465-467)
+            sfm_depth = np.where(sfm_depth > sfm_far_clip, 0.0, sfm_depth)
         H_raw, W_raw = ex.raw_size
 
         hyps = []

@@ -140,4 +140,22 @@ def restore_train_state(path: str, state, rc):
                 jax.tree.structure(state.ss_opt_state),
                 [jnp.asarray(x) for x in jax.tree.leaves(extra["ss_opt_state"])],
             )
+    else:
+        # reference checkpoint: no optax state. Fast-forward the Adam update
+        # counts to the restored step so the staircase LR schedule resumes
+        # at the right rate (the reference also resets Adam moments on
+        # resume — run_scade_scannet.py:478-485 — so this matches it).
+        kwargs["opt_state"] = _fast_forward_count(state.opt_state, step)
+        kwargs["ss_opt_state"] = _fast_forward_count(state.ss_opt_state, step)
     return state._replace(**kwargs)
+
+
+def _fast_forward_count(opt_state, step: int):
+    """Set every scalar int32 'count' leaf in an optax state to `step`."""
+
+    def bump(leaf):
+        if hasattr(leaf, "shape") and leaf.shape == () and leaf.dtype == jnp.int32:
+            return jnp.asarray(step, jnp.int32)
+        return leaf
+
+    return jax.tree.map(bump, opt_state)

@@ -49,6 +49,43 @@ class MeanTracker:
             f.write(f"{key}: {self.get(key)}\n")
 
 
+def make_image_grid(images, unnormalize=None):
+    """Stack a batch of HWC images into one tall image (the reference's
+    torchvision make_grid(nrow=1) — train_utils/logging.py:49-58). 4-channel
+    rgbd batches produce [rgb | depth] side by side."""
+    import numpy as np
+
+    imgs = np.asarray(images)
+    if imgs.ndim == 3:
+        imgs = imgs[..., None]
+    C = imgs.shape[-1]
+    if C == 4:
+        rgb = imgs[..., :3]
+        depth = imgs[..., 3:]
+        if unnormalize is not None:
+            mean, std = unnormalize["rgbd"][0][:3], unnormalize["rgbd"][1][:3]
+            rgb = rgb * std + mean
+        grid_rgb = np.concatenate(list(rgb), axis=0)
+        grid_d = np.concatenate(list(np.repeat(depth, 3, axis=-1)), axis=0)
+        return np.concatenate([grid_rgb, grid_d], axis=1)
+    if C == 3 and unnormalize is not None:
+        mean, std = unnormalize["rgb"]
+        imgs = imgs * std + mean
+    if C == 1:
+        imgs = np.repeat(imgs, 3, axis=-1)
+    return np.concatenate(list(imgs), axis=0)
+
+
+def print_network_info(params, name: str = "model"):
+    """Parameter count summary (train_utils/logging.py:60-64)."""
+    import jax
+    import numpy as np
+
+    n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    print(f"{name}: {n / 1e6:.3f} M parameters")
+    return n
+
+
 class Writer:
     """TensorBoard scalar/image writer with a JSONL fallback."""
 

@@ -28,6 +28,10 @@ def main():
     ap.add_argument("--num_hypothesis", type=int, default=20)
     ap.add_argument("--mini_batch_size", type=int, default=5)
     ap.add_argument("--sfm_mask_threshold", type=float, default=0.1)
+    ap.add_argument("--sfm_scaling_factor", type=float, default=1000.0,
+                    help="SfM depth png units per meter")
+    ap.add_argument("--sfm_far_clip", type=float, default=None,
+                    help="drop SfM points beyond this depth (wild scenes)")
     ap.add_argument("--default_scale", type=float, default=0.5)
     ap.add_argument("--default_shift", type=float, default=0.0)
     ap.add_argument("--seed_num", type=int, default=0)
@@ -81,6 +85,8 @@ def main():
         sfm_mask_threshold=args.sfm_mask_threshold,
         default_scale=args.default_scale, default_shift=args.default_shift,
         seed=args.seed_num, save_previews=args.save_previews,
+        sfm_scaling_factor=args.sfm_scaling_factor,
+        sfm_far_clip=args.sfm_far_clip,
     )
     print(f"hypotheses written to {out}")
 
