@@ -106,21 +106,28 @@ class Bottleneck(nn.Module):
 
 class FTB(nn.Module):
     """Feature-transfer block: conv → residual conv-BN-conv branch → relu
-    (network_auxi.py:709-757)."""
+    (network_auxi.py:709-757).
+
+    NOTE the reference's branch starts with ``ReLU(inplace=True)``, which
+    mutates the residual tensor in place BEFORE the skip add executes
+    (``x = x + self.conv_branch(x)``, :745) — so the effective residual is
+    relu(conv1(x)), not conv1(x). Verified numerically against the torch
+    module; replicated here.
+    """
 
     midchannels: int
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(self.midchannels, (3, 3), padding=[(1, 1), (1, 1)])(x)
-        branch = nn.relu(x)
-        branch = nn.Conv(self.midchannels, (3, 3), padding=[(1, 1), (1, 1)])(branch)
+        h = nn.Conv(self.midchannels, (3, 3), padding=[(1, 1), (1, 1)])(x)
+        h = nn.relu(h)  # the in-place relu hits the residual too
+        branch = nn.Conv(self.midchannels, (3, 3), padding=[(1, 1), (1, 1)])(h)
         branch = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5
         )(branch)
         branch = nn.relu(branch)
         branch = nn.Conv(self.midchannels, (3, 3), padding=[(1, 1), (1, 1)])(branch)
-        return nn.relu(x + branch)
+        return nn.relu(h + branch)
 
 
 class FFM(nn.Module):

@@ -38,6 +38,9 @@ def _strip(state_dict: dict) -> dict:
         for prefix in ("module.", "depth_model.", "model."):
             while k.startswith(prefix):
                 k = k[len(prefix):]
+        # DepthNet_cIMLE nests the backbone one level deeper
+        # (encoder_modules.encoder.*, network_auxi.py:655-697)
+        k = k.replace("encoder_modules.encoder.", "encoder_modules.")
         out[k] = v
     return out
 
