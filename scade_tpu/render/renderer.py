@@ -279,7 +279,10 @@ def render_rays(
         u = cached_u
     pred_hyp = sample_pdf(z_mid2, weights[..., 1:-1], u)  # differentiable
 
-    z_std = jnp.std(z_samples, axis=-1)
+    # NOTE: the reference reuses the variable `z_samples` for the P_depth
+    # draws before computing z_std (run_scade_scannet.py:726-745), so z_std
+    # is the std of pred_hyp (population std, unbiased=False).
+    z_std = jnp.std(pred_hyp, axis=-1)
 
     return {
         "rgb_map": rgb_map,
