@@ -176,19 +176,31 @@ def _load_splits(basedir: str, train_json: str, depth_ext_png: bool = False):
 
 def _load_hypotheses(basedir, cimle_dir, filenames, i_train, num_hypothesis, near, far):
     """cIMLE hypothesis .npy dumps, clipped to [near, far]
-    (data/load_scene.py:316-349). Returns (N_train, K, H, W, 1) float32."""
+    (data/load_scene.py:316-349). Returns (N_train, K, H, W, 1) float32.
+
+    Loads all K x N_train files through the native parallel reader
+    (scade_tpu/data/native_cache.py) when built — the serial Python loop is
+    the cold-start bottleneck for big scenes — with a transparent numpy
+    fallback."""
+    from scade_tpu.data import native_cache
+
     leres_dir = os.path.join(basedir, "train", "leres_cimle", cimle_dir)
-    all_hyp = []
-    for idx in i_train:
-        img_id = filenames[idx].split("/")[-1].split(".")[0]
-        hyps = [
-            np.load(os.path.join(leres_dir, f"{img_id}_{j}.npy")).astype(np.float32)[
-                ..., None
-            ]
-            for j in range(num_hypothesis)
-        ]
-        all_hyp.append(np.array(hyps))
-    return np.clip(np.array(all_hyp), near, far)
+    paths = [
+        os.path.join(
+            leres_dir,
+            f"{filenames[idx].split('/')[-1].split('.')[0]}_{j}.npy",
+        )
+        for idx in i_train
+        for j in range(num_hypothesis)
+    ]
+    flats = native_cache.load_npy_batch(paths)
+    # recover (H, W) from the first file (all hypothesis maps share it)
+    probe = np.load(paths[0], mmap_mode="r")
+    H, W = probe.shape
+    all_hyp = np.stack(flats, 0).reshape(
+        len(i_train), num_hypothesis, H, W, 1
+    )
+    return np.clip(all_hyp, near, far)
 
 
 def _load_scale_shift_init(basedir, scales_dir, filenames, i_train, gt_init):

@@ -46,6 +46,13 @@ class PriorTrainConfig:
     num_samples: int = 20  # z draws per image for recaching
     mini_batch_size: int = 5
     refresh_z: int = 10
+    # optional WarmupMultiStepLR (--use_scheduler in the reference trainer;
+    # off by default for SCADE per-scene finetuning)
+    use_scheduler: bool = False
+    lr_milestones: tuple = (30000, 40000)
+    lr_gamma: float = 0.1
+    warmup_factor: float = 1.0 / 3.0
+    warmup_iters: int = 500
     max_epoch: int = 60
     batch_size: int = 4
     d_latent: int = 32
@@ -53,6 +60,32 @@ class PriorTrainConfig:
         "_ranking-edge_pairwise-normal-regress-edge_msgil-normal_"
         "meanstd-tanh_pairwise-normal-regress-plane_"
     )  # train_single.py:38
+
+
+def warmup_multistep_lr(base_lr: float, milestones, gamma: float = 0.1,
+                        warmup_factor: float = 1.0 / 3.0,
+                        warmup_iters: int = 500,
+                        warmup_method: str = "linear"):
+    """WarmupMultiStepLR as an optax schedule (reference:
+    lib/utils/lr_scheduler_custom.py:14-55): linear/constant warmup to
+    base_lr, then gamma decay at each milestone."""
+    milestones = jnp.asarray(sorted(milestones), jnp.int32)
+
+    def schedule(count):
+        count = jnp.asarray(count, jnp.float32)
+        if warmup_method == "constant":
+            wf = jnp.where(count < warmup_iters, warmup_factor, 1.0)
+        else:
+            alpha = count / max(warmup_iters, 1)
+            wf = jnp.where(
+                count < warmup_iters,
+                warmup_factor * (1.0 - alpha) + alpha,
+                1.0,
+            )
+        n_passed = jnp.sum((milestones <= count).astype(jnp.float32))
+        return base_lr * wf * gamma**n_passed
+
+    return schedule
 
 
 def _param_label(path) -> str:
@@ -74,6 +107,11 @@ def make_prior_optimizer(params, tc: PriorTrainConfig):
     labels = jax.tree_util.tree_map_with_path(lambda p, _: _param_label(p), params)
 
     def group(lr):
+        if tc.use_scheduler:
+            lr = warmup_multistep_lr(
+                lr, tc.lr_milestones, tc.lr_gamma,
+                tc.warmup_factor, tc.warmup_iters,
+            )
         return optax.chain(
             optax.add_decayed_weights(tc.weight_decay),
             optax.sgd(learning_rate=lr, momentum=0.9),
