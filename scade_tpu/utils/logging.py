@@ -49,6 +49,94 @@ class MeanTracker:
             f.write(f"{key}: {self.get(key)}\n")
 
 
+class SmoothedValue:
+    """Median/average over a sliding window (reference
+    lib/utils/logging.py SmoothedValue — median filtering suppresses loss
+    spikes in the printed stats)."""
+
+    def __init__(self, window_size: int = 20):
+        from collections import deque
+
+        self._deque = deque(maxlen=window_size)
+        self._total = 0.0
+        self._count = 0
+
+    def AddValue(self, value: float):
+        self._deque.append(float(value))
+        self._total += float(value)
+        self._count += 1
+
+    def GetMedianValue(self) -> float:
+        import numpy as np
+
+        return float(np.median(list(self._deque))) if self._deque else 0.0
+
+    def GetAverageValue(self) -> float:
+        import numpy as np
+
+        return float(np.mean(list(self._deque))) if self._deque else 0.0
+
+    def GetGlobalAverageValue(self) -> float:
+        return self._total / max(self._count, 1)
+
+
+class TrainingStats:
+    """Median-smoothed loss tracking + periodic logging (reference
+    lib/utils/training_stats.py:19-100)."""
+
+    def __init__(self, log_period: int = 20, total_iters=None, writer=None):
+        from collections import defaultdict
+
+        from scade_tpu.utils.profiling import StepTimer
+
+        self.log_period = log_period
+        self.writer = writer
+        self.iter_timer = StepTimer(total_steps=total_iters, warmup=1)
+        self.smoothed_losses = defaultdict(lambda: SmoothedValue(log_period))
+        self.smoothed_total_loss = SmoothedValue(log_period)
+
+    def IterTic(self):
+        self.iter_timer.tic()
+
+    def IterToc(self):
+        return self.iter_timer.toc()
+
+    def UpdateIterStats(self, loss: dict):
+        for k, v in loss.items():
+            if k != "total_loss":
+                self.smoothed_losses[k].AddValue(float(v))
+        self.smoothed_total_loss.AddValue(float(loss["total_loss"]))
+
+    def GetStats(self, cur_iter: int, cur_epoch: int, lr=None) -> dict:
+        stats = {
+            "iter": cur_iter,
+            "epoch": cur_epoch,
+            "time": self.iter_timer.average,
+            "eta": self.iter_timer.eta_string(cur_iter),
+            "total_loss": self.smoothed_total_loss.GetMedianValue(),
+        }
+        if lr is not None:
+            stats["lr"] = lr
+        for k, v in self.smoothed_losses.items():
+            stats[k] = v.GetMedianValue()
+        return stats
+
+    def LogIterStats(self, cur_iter: int, cur_epoch: int, lr=None):
+        if cur_iter % self.log_period != 0:
+            return
+        stats = self.GetStats(cur_iter, cur_epoch, lr)
+        print(
+            " ".join(
+                f"{k}: {v:.5f}" if isinstance(v, float) else f"{k}: {v}"
+                for k, v in stats.items()
+            )
+        )
+        if self.writer is not None:
+            for k, v in stats.items():
+                if isinstance(v, (int, float)) and k not in ("iter", "epoch"):
+                    self.writer.add_scalar(k, float(v), cur_iter)
+
+
 def make_image_grid(images, unnormalize=None):
     """Stack a batch of HWC images into one tall image (the reference's
     torchvision make_grid(nrow=1) — train_utils/logging.py:49-58). 4-channel
