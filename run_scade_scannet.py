@@ -32,6 +32,15 @@ def main(variant: str = "scannet", argv=None):
 
     args = parse_args(variant=variant, argv=argv)
 
+    if getattr(args, "multihost", False):
+        import jax
+
+        jax.distributed.initialize()
+        print(
+            f"multihost: process {jax.process_index()}/{jax.process_count()},"
+            f" {jax.device_count()} devices total"
+        )
+
     if args.task == "train" and args.expname is None:
         stamp = datetime.datetime.fromtimestamp(time.time()).strftime(
             "%Y%m%d_%H%M%S"

@@ -160,8 +160,9 @@ def _load_splits(basedir: str, train_json: str, depth_ext_png: bool = False):
             all_imgs.append(np.array(imgs))
             all_depths.append(np.array(depths))
             all_valid.append(np.array(valids))
-        all_poses.append(np.array(poses).astype(np.float32))
-        all_intr.append(np.array(intrinsics).astype(np.float32))
+        if poses:  # splits may legitimately have zero frames
+            all_poses.append(np.array(poses).astype(np.float32))
+            all_intr.append(np.array(intrinsics).astype(np.float32))
 
     i_split = [np.arange(counts[i], counts[i + 1]) for i in range(len(SPLITS))]
     return (

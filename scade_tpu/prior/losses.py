@@ -45,13 +45,19 @@ import numpy as np
 def masked_sample(key, mask_flat, n: int):
     """n i.i.d. uniform draws over indices where mask_flat (bool, (P,)) is
     True — the static-shape replacement for randperm-over-masked_select.
-    Returns (idx (n,), any_valid ())."""
-    logits = jnp.where(mask_flat, 0.0, -jnp.inf)
-    any_valid = jnp.any(mask_flat)
-    # guard empty support: fall back to uniform-over-all (caller masks out)
-    safe_logits = jnp.where(any_valid, logits, jnp.zeros_like(logits))
-    idx = jax.random.categorical(key, safe_logits, shape=(n,))
-    return idx, any_valid
+    Returns (idx (n,), any_valid ()).
+
+    Implemented as inverse-CDF over the mask's cumsum (O(P + n log P));
+    jax.random.categorical would materialize an (n, P) Gumbel tensor —
+    terabytes at 448x448 x 15k draws."""
+    w = mask_flat.astype(jnp.float32)
+    cdf = jnp.cumsum(w)
+    total = cdf[-1]
+    any_valid = total > 0
+    u = jax.random.uniform(key, (n,)) * jnp.maximum(total, 1.0)
+    # first index with cdf > u lands only on mask==True pixels
+    idx = jnp.searchsorted(cdf, u, side="right")
+    return jnp.clip(idx, 0, mask_flat.shape[0] - 1), any_valid
 
 
 def sobel_edges(img_2d):

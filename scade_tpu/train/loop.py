@@ -77,6 +77,7 @@ def args_to_configs(args):
         compute_dtype=jnp.bfloat16
         if args.compute_dtype == "bfloat16"
         else jnp.float32,
+        use_fused=getattr(args, "use_fused", False),
     )
     tc = TrainConfig(
         n_rand=args.N_rand,
@@ -145,7 +146,27 @@ def train_nerf(scene, args):
         state = restore_train_state(ckpts[-1], state, rc)
         state = state._replace(step=jnp.zeros((), jnp.int32))
 
-    step_fn = make_train_step(rc, tc, scene.H, scene.W, n_train)
+    # multi-device: shard the ray batch over a data mesh; params replicate
+    # and XLA inserts psums over ICI (multi-host joins the same mesh after
+    # jax.distributed.initialize() in the CLI)
+    n_dev = jax.device_count()
+    if n_dev > 1 and tc.n_rand % n_dev == 0:
+        from scade_tpu.parallel.mesh import (
+            data_sharding,
+            make_mesh,
+            replicate,
+            state_shardings,
+        )
+
+        mesh = make_mesh()
+        print(f"Training data-parallel over {n_dev} devices")
+        state = jax.device_put(state, state_shardings(state, mesh))
+        st = jax.device_put(st, replicate(mesh))
+        step_fn = make_train_step(
+            rc, tc, scene.H, scene.W, n_train, data_spec=data_sharding(mesh)
+        )
+    else:
+        step_fn = make_train_step(rc, tc, scene.H, scene.W, n_train)
     tb = Writer(os.path.join("runs", args.expname))
     lpips_fn = LPIPSAlex()
 

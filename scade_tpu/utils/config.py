@@ -118,6 +118,11 @@ def build_parser(variant: str = "scannet") -> argparse.ArgumentParser:
                    choices=["float32", "bfloat16"],
                    help="MLP matmul dtype; bfloat16 = MXU fast path")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--multihost", action="store_true",
+                   help="call jax.distributed.initialize() so every host "
+                        "joins one mesh (rays shard over all chips)")
+    p.add_argument("--use_fused", type=_bool, default=False,
+                   help="evaluate PE+MLP with the fused Pallas kernel")
     return p
 
 

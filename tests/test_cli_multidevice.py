@@ -1,0 +1,41 @@
+"""CLI train over the 8-device virtual mesh: the loop's data-parallel path
+(ray batch sharded, params replicated, psum'd grads) end-to-end."""
+
+import os
+import subprocess
+import sys
+
+import jax
+import pytest
+
+
+def test_cli_train_multidevice(tmp_path):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh")
+
+    scene = tmp_path / "scene"
+    subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(__file__), "..", "tools",
+                      "make_synthetic_scene.py"),
+         str(scene), "--H", "32", "--W", "48", "--K", "2",
+         "--n_train", "2", "--n_val", "1", "--n_test", "1", "--n_video", "0"],
+        check=True,
+    )
+
+    from run_scade_scannet import main
+
+    main("scannet", [
+        "train", "--data_dir", str(tmp_path), "--scene_id", "scene",
+        "--ckpt_dir", str(tmp_path / "ckpt"), "--expname", "mdev",
+        "--num_iterations", "8", "--N_rand", "64", "--i_weights", "8",
+        "--i_img", "1000000", "--i_print", "4", "--cimle_dir", "dump",
+        "--num_hypothesis", "2", "--N_samples", "8", "--N_importance", "16",
+        "--multires", "4", "--chunk", "2048",
+    ])
+    result_dir = tmp_path / "ckpt" / "mdev"
+    assert (result_dir / "000008.tar").exists()
+    metrics = result_dir / "test_images_scene" / "metrics.txt"
+    assert metrics.exists()
+    text = metrics.read_text()
+    assert "psnr" in text and "nan" not in text.lower()

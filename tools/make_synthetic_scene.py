@@ -157,6 +157,8 @@ def main():
                     )
             img_counter += 1
 
+        if n == 0 and split != "train":
+            continue  # omit empty split files entirely
         meta = {"frames": frames}
         if split == "train":
             meta.update({"near": near, "far": far,

@@ -72,7 +72,10 @@ def main():
     )
     key = jax.random.PRNGKey(args.seed_num)
 
-    ds = FinetuneDataset(os.path.join(args.scene_dir, "train"), args.dataset_name)
+    ds = FinetuneDataset(
+        os.path.join(args.scene_dir, "train"), args.dataset_name,
+        crop_size=(args.image_size, args.image_size),
+    )
     print(f"{len(ds)} training images")
 
     key, k_init = jax.random.split(key)
