@@ -40,6 +40,10 @@ def main(variant: str = "scannet", argv=None):
             f"multihost: process {jax.process_index()}/{jax.process_count()},"
             f" {jax.device_count()} devices total"
         )
+        if args.task == "train" and args.expname is None:
+            # wall-clock-derived names would skew across hosts and scatter
+            # one logical run over several directories
+            sys.exit("--expname is required for multihost training")
 
     if args.task == "train" and args.expname is None:
         stamp = datetime.datetime.fromtimestamp(time.time()).strftime(
@@ -50,10 +54,13 @@ def main(variant: str = "scannet", argv=None):
         sys.exit(f'--expname is required for task "{args.task}"')
 
     if args.task == "train":
-        run_dir = os.path.join(args.ckpt_dir, args.expname)
-        os.makedirs(run_dir, exist_ok=True)
-        with open(os.path.join(run_dir, "args.json"), "w") as af:
-            json.dump(vars(args), af, indent=4)
+        import jax
+
+        if jax.process_index() == 0:
+            run_dir = os.path.join(args.ckpt_dir, args.expname)
+            os.makedirs(run_dir, exist_ok=True)
+            with open(os.path.join(run_dir, "args.json"), "w") as af:
+                json.dump(vars(args), af, indent=4)
 
     print("\n".join(f"{k}={v}" for k, v in vars(args).items()))
 

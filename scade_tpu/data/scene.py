@@ -120,12 +120,14 @@ def _load_splits(basedir: str, train_json: str, depth_ext_png: bool = False):
     H = W = None
 
     for s in SPLITS:
-        split_json = os.path.join(basedir, f"transforms_{s}.json")
+        # the train split reads the (possibly custom) --train_jsonfile;
+        # existence must be checked on the file actually loaded
+        split_json = os.path.join(
+            basedir, train_json if s == "train" else f"transforms_{s}.json"
+        )
         if not os.path.exists(split_json):
             counts.append(counts[-1])
             continue
-        if s == "train":
-            split_json = os.path.join(basedir, train_json)
         with open(split_json, "r") as fp:
             meta = json.load(fp)
         if s == "train":

@@ -42,6 +42,17 @@ import numpy as np
 # ---------------------------------------------------------------------------
 
 
+def safe_normalize(v, axis=-1, eps: float = 1e-12):
+    """Unit-normalize with a smooth gradient at v == 0.
+
+    Plain ``v / (norm(v) + eps)`` still has a NaN gradient at the origin
+    (d||v||/dv = v/||v|| = 0/0) and zero vectors occur routinely here
+    (padded borders, invalid depth, coincident sample points); NaN * mask
+    stays NaN in the backward pass. rsqrt(sum + eps) is smooth everywhere.
+    """
+    return v * jax.lax.rsqrt(jnp.sum(v**2, axis=axis, keepdims=True) + eps)
+
+
 def masked_sample(key, mask_flat, n: int):
     """n i.i.d. uniform draws over indices where mask_flat (bool, (P,)) is
     True — the static-shape replacement for randperm-over-masked_select.
@@ -241,7 +252,8 @@ def ranking_edge_loss(key, pred, gt, rgb, mask_value=-1e-8, sigma=0.03,
                            jnp.where(ratio <= 1.0 / (1.0 + sigma), -1.0, 0.0))
 
         equal_l = (iA - iB) ** 2 * mask_eq.astype(jnp.float32) * consistency
-        unequal_l = jnp.log1p(jnp.exp((-iA + iB) * labels)) * (
+        # softplus == log(1 + exp(x)) but overflow-stable for large logits
+        unequal_l = jax.nn.softplus((-iA + iB) * labels) * (
             1.0 - mask_eq.astype(jnp.float32)
         ) * consistency
         return alpha * jnp.mean(equal_l) + jnp.mean(unequal_l)
@@ -296,8 +308,7 @@ def surface_normal_from_depth(depth, focal_length, valid_mask=None):
         flip = jnp.sum(n * xyz, axis=-1, keepdims=True) > 0
         return jnp.where(flip, -n, n)
 
-    def unit(n):
-        return n / (jnp.linalg.norm(n, axis=-1, keepdims=True) + 1e-8)
+    unit = safe_normalize
 
     n1 = unit(orient(jnp.cross(horiz_in, vert_in)))
     n2 = unit(orient(jnp.cross(horiz, vert)))
@@ -447,15 +458,13 @@ def pwn_planes_loss(key, gt_depth, pred_depth, planes_mask, focal_length,
             near &= jnp.sum(jnp.abs(diffs[..., 1]) < delta_diff, 1) > 0
             group_ok = (~(mask_cos | near)) & plane_ok
 
-            vn = jnp.cross(p2 - p1, p3 - p1)
-            vn = vn / (jnp.linalg.norm(vn, axis=-1, keepdims=True) + 1e-8)
+            vn = safe_normalize(jnp.cross(p2 - p1, p3 - p1))
             flip = jnp.sum(vn * p1, -1) > 0
             vn = jnp.where(flip[:, None], -vn, vn)
 
             w = group_ok.astype(jnp.float32)[:, None]
-            aver = jnp.sum(vn * w, 0)
-            aver = aver / (jnp.linalg.norm(aver) + 1e-5)
-            cos_diff = (1.0 - jnp.sum(vn * aver, -1)) * w[:, 0]
+            aver = safe_normalize(jnp.sum(vn * w, 0), axis=0, eps=1e-10)
+            cos_diff = jnp.where(group_ok, 1.0 - jnp.sum(vn * aver, -1), 0.0)
             return jnp.sum(cos_diff), jnp.sum(w)
 
         plane_ids = jnp.arange(1, max_planes + 1)

@@ -9,6 +9,7 @@ effects (reference cadence: run_scade_scannet.py:1002-1087).
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 from typing import Optional
@@ -150,7 +151,7 @@ def train_nerf(scene, args):
     # and XLA inserts psums over ICI (multi-host joins the same mesh after
     # jax.distributed.initialize() in the CLI)
     n_dev = jax.device_count()
-    if n_dev > 1 and tc.n_rand % n_dev == 0:
+    if n_dev > 1:
         from scade_tpu.parallel.mesh import (
             data_sharding,
             make_mesh,
@@ -158,6 +159,13 @@ def train_nerf(scene, args):
             state_shardings,
         )
 
+        if tc.n_rand % n_dev != 0:
+            new_n_rand = -(-tc.n_rand // n_dev) * n_dev
+            print(
+                f"WARNING: N_rand={tc.n_rand} not divisible by "
+                f"{n_dev} devices; rounding up to {new_n_rand}"
+            )
+            tc = dataclasses.replace(tc, n_rand=new_n_rand)
         mesh = make_mesh()
         print(f"Training data-parallel over {n_dev} devices")
         state = jax.device_put(state, state_shardings(state, mesh))
@@ -167,7 +175,12 @@ def train_nerf(scene, args):
         )
     else:
         step_fn = make_train_step(rc, tc, scene.H, scene.W, n_train)
-    tb = Writer(os.path.join("runs", args.expname))
+
+    # multi-host: only process 0 performs filesystem side effects — all
+    # hosts run the same jitted steps (they must, for the collectives), but
+    # checkpoints/logs/test renders are written once
+    is_primary = jax.process_index() == 0
+    tb = Writer(os.path.join("runs", args.expname)) if is_primary else None
     lpips_fn = LPIPSAlex()
 
     def scene_vars(params):
@@ -188,12 +201,12 @@ def train_nerf(scene, args):
     for i in range(start + 1, tc.num_iterations + 1):
         state, metrics = step_fn(state, st, jax.random.fold_in(base_key, i))
 
-        if i % args.i_weights == 0:
+        if i % args.i_weights == 0 and is_primary:
             path = os.path.join(run_dir, f"{i:06d}.tar")
             save_checkpoint(path, jax.device_get(state), rc)
             print(f"Saved checkpoints at {path}")
 
-        if i % args.i_print == 0:
+        if i % args.i_print == 0 and is_primary:
             m = {k: float(v) for k, v in jax.device_get(metrics).items()}
             tb.add_scalars("mse", {"train": m["img_loss"]}, i)
             if tc.space_carving_weight > 0.0:
@@ -212,7 +225,7 @@ def train_nerf(scene, args):
                 f"{m['space_carving_loss']:.6f}"
             )
 
-        if i % args.i_img == 0:
+        if i % args.i_img == 0 and is_primary:
             sv = scene_vars(state.params)
             imgs_np = np.asarray(jax.device_get(st.images))
             depths_np = scene.depths[
@@ -241,7 +254,7 @@ def train_nerf(scene, args):
             if mean_val.has("depth_rmse"):
                 tb.add_scalar("depth_rmse", mean_val.get("depth_rmse"), i)
 
-        if i == tc.num_iterations:
+        if i == tc.num_iterations and is_primary:
             sv = scene_vars(state.params)
             test_idx = np.arange(len(scene.i_test))
             mean_test, images_test = render_images_with_metrics(

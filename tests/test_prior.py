@@ -70,6 +70,35 @@ def test_losses_sane():
     assert float(ld["pairwise-normal-regress-edge_loss"]) == 0.0
 
 
+def test_criterion_gradients_finite_on_degenerate_input():
+    """NaN-gradient regression test: masked-out zero-norm vectors (empty
+    planes, invalid depth) must not poison the backward pass (NaN * 0 == NaN
+    through plain multiplication masking)."""
+    key = jax.random.PRNGKey(0)
+    rng = np.random.default_rng(3)
+    B, H, W = 1, 24, 32
+    gt = jnp.asarray(rng.uniform(0.5, 9.0, (B, H, W, 1)), jnp.float32)
+    # half the image invalid; one empty plane id in the mask
+    gt = gt.at[:, :12].set(-1.0)
+    pred = jnp.asarray(rng.uniform(0.5, 9.0, (B, H, W, 1)), jnp.float32)
+    batch = {
+        "depth": gt,
+        "rgb": jnp.asarray(rng.uniform(0, 1, (B, H, W, 3)), jnp.float32),
+        "planes": jnp.zeros((B, H, W), jnp.int32),  # NO valid planes at all
+        "focal_length": jnp.full((B,), 250.0),
+        "quality_flg": jnp.full((B,), 3, jnp.int32),  # edge loss active too
+    }
+    lm = ("_ranking-edge_pairwise-normal-regress-edge_msgil-normal_"
+          "meanstd-tanh_pairwise-normal-regress-plane_")
+
+    def total(p):
+        _, t = L.criterion(key, p, batch, lm)
+        return jnp.sum(t)
+
+    g = jax.grad(total)(pred)
+    assert np.isfinite(np.asarray(g)).all(), "NaN/Inf in criterion gradients"
+
+
 def test_surface_normals_unit_norm():
     rng = np.random.default_rng(1)
     depth = jnp.asarray(rng.uniform(1, 5, (1, 24, 24, 1)), jnp.float32)
