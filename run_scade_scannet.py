@@ -129,13 +129,16 @@ def main(variant: str = "scannet", argv=None):
             valid = scene.valid_depths[i_test]
 
         with_opt = args.task == "test_opt"
+        embedded_cams = None
         if with_opt and args.input_ch_cam > 0:
             # per-image latent optimization (reference :266-302; upstream is
-            # broken — we implement the intended behavior)
+            # broken — we implement the intended behavior). Each test image
+            # is then rendered with ITS OWN optimized latent.
             result_dir = os.path.join(
                 args.ckpt_dir, args.expname, "test_latent_codes_" + args.scene_id
             )
             os.makedirs(result_dir, exist_ok=True)
+            embedded_cams = []
             for k, idx in enumerate(i_test):
                 emb = optimize_camera_embedding(
                     scene.images[idx], scene.poses[idx], scene.H, scene.W,
@@ -143,13 +146,14 @@ def main(variant: str = "scannet", argv=None):
                     args.input_ch_cam, n_rand=args.N_rand,
                 )
                 np.savetxt(os.path.join(result_dir, f"{k}.txt"), np.asarray(emb))
-                sv = sv._replace(embedded_cam=emb)
+                embedded_cams.append(np.asarray(emb))
 
         mean_metrics, images_test = render_images_with_metrics(
             None, np.arange(len(i_test)),
             scene.images[i_test], depths, valid, scene.poses[i_test],
             scene.H, scene.W, scene.intrinsics[i_test],
             sv, rc, scene.near, scene.far, chunk=args.chunk // 2,
+            embedded_cams=embedded_cams,
         )
         write_images_with_metrics(
             images_test, mean_metrics, scene.far, args.ckpt_dir,

@@ -44,6 +44,7 @@ def render_images_with_metrics(
     lpips_fn: Optional[LPIPSAlex] = None,
     rng: Optional[np.random.Generator] = None,
     verbose: bool = True,
+    embedded_cams=None,
 ):
     """Render `count` images (None = all, in order) and accumulate
     PSNR/SSIM/LPIPS/RMSE (reference :304-394). Returns (MeanTracker, dict of
@@ -76,6 +77,10 @@ def render_images_with_metrics(
         target_depth = np.asarray(depths[img_idx])
         target_valid = np.asarray(valid_depths[img_idx]).astype(bool)
 
+        if embedded_cams is not None:
+            # per-image optimized camera latent (test_opt,
+            # reference run_scade_scannet.py:404-418 embedcam handling)
+            scene = scene._replace(embedded_cam=jnp.asarray(embedded_cams[n]))
         out = render_image(
             scene, rc, H, W,
             jnp.asarray(intrinsics[img_idx]), jnp.asarray(poses[img_idx]),
