@@ -347,6 +347,39 @@ def render_ray_batch(
     return jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:])[:n], out)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=32)
+def _image_render_fn(rc: RenderConfig, H: int, W: int, chunk: int,
+                     with_5_9: bool):
+    """One jitted whole-image render per (config, shape): everything —
+    ray-grid generation, tiling, the lax.map over chunks — compiles into a
+    single program. Per-op eager dispatch is expensive on remote/tunneled
+    devices, and eval renders many images at identical shapes."""
+
+    @jax.jit
+    def fn(scene, intrinsic, c2w, near, far):
+        rays_o, rays_d = get_rays(H, W, intrinsic, c2w)
+        w_out = W
+        if with_5_9:
+            w_out = int(H / 9.0 * 16.0 / 3.0)
+            if w_out % 2 != 0:
+                w_out -= 1
+            start = (W - w_out) // 2
+            rays_o = rays_o[:, start : start + w_out, :]
+            rays_d = rays_d[:, start : start + w_out, :]
+        out = render_ray_batch(
+            scene, rc, rays_o.reshape(-1, 3), rays_d.reshape(-1, 3),
+            near, far, chunk=chunk,
+        )
+        return jax.tree.map(
+            lambda x: x.reshape((H, w_out) + x.shape[1:]), out
+        )
+
+    return fn
+
+
 def render_image(
     scene: SceneVars,
     rc: RenderConfig,
@@ -361,23 +394,8 @@ def render_image(
 ):
     """Full-image deterministic render (reference render() with c2w
     :106-116). Returns the ret dict with (H, W, ...) leaves."""
-    rc = rc.test_mode()
-    rays_o, rays_d = get_rays(H, W, intrinsic, c2w)
-    if with_5_9:
-        W_before = W
-        W = int(H / 9.0 * 16.0 / 3.0)
-        if W % 2 != 0:
-            W -= 1
-        start = (W_before - W) // 2
-        rays_o = rays_o[:, start : start + W, :]
-        rays_d = rays_d[:, start : start + W, :]
-    out = render_ray_batch(
-        scene,
-        rc,
-        rays_o.reshape(-1, 3),
-        rays_d.reshape(-1, 3),
-        near,
-        far,
-        chunk=chunk,
+    fn = _image_render_fn(rc.test_mode(), H, W, chunk, with_5_9)
+    return fn(
+        scene, jnp.asarray(intrinsic), jnp.asarray(c2w),
+        jnp.float32(near), jnp.float32(far),
     )
-    return jax.tree.map(lambda x: x.reshape((H, W) + x.shape[1:]), out)
