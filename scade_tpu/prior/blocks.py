@@ -16,15 +16,16 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
-def upsample_bilinear_align_corners(x, factor: int):
-    """torch nn.Upsample(mode='bilinear', align_corners=True) in NHWC.
+def resize_bilinear_align_corners(x, size):
+    """torch F.interpolate(mode='bilinear', align_corners=True) to an
+    arbitrary (oh, ow) in NHWC.
 
     jax.image.resize has no align_corners mode, so gather the interpolation
     explicitly: out[i] = lerp(x[floor(s)], x[ceil(s)]) with
     s = i * (in-1)/(out-1).
     """
     n, h, w, c = x.shape
-    oh, ow = h * factor, w * factor
+    oh, ow = size
 
     def axis_weights(in_size, out_size):
         if out_size == 1 or in_size == 1:
@@ -44,6 +45,12 @@ def upsample_bilinear_align_corners(x, factor: int):
         + top[:, :, c1, :] * cw[None, None, :, None]
     )
     return out
+
+
+def upsample_bilinear_align_corners(x, factor: int):
+    """torch nn.Upsample(scale_factor=f, align_corners=True) in NHWC."""
+    _, h, w, _ = x.shape
+    return resize_bilinear_align_corners(x, (h * factor, w * factor))
 
 
 class AdaIn(nn.Module):
@@ -144,6 +151,88 @@ class FFM(nn.Module):
         x = x + high_x
         x = FTB(self.outchannels)(x, train)
         return upsample_bilinear_align_corners(x, self.upfactor)
+
+
+class AdaInV2(nn.Module):
+    """Image-conditioned AdaIn (network_auxi.py:266-318): a small conv net
+    over [image ⊕ z-broadcast] pooled to 7x7 feeds the style MLP. Used by
+    Decoder_cIMLE versions v3-v6."""
+
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x, z, input_image, mean_shift, var_shift):
+        B, H, W, _ = input_image.shape
+        z_map = jnp.broadcast_to(z[:, None, None, :], (B, H, W, z.shape[-1]))
+        h = jnp.concatenate([input_image, z_map], axis=-1)
+        for ch in (32, 16, 8):
+            h = nn.leaky_relu(
+                nn.Conv(ch, (3, 3), padding=[(1, 1), (1, 1)])(h),
+                negative_slope=0.01,
+            )
+            h = jax.lax.reduce_window(
+                h, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 4, 4, 1),
+                [(0, 0), (1, 1), (1, 1), (0, 0)],
+            )
+        # the reference flattens an 8x7x7 map (448-input assumption); for
+        # other sizes, pool to a fixed 7x7 first
+        if h.shape[1] != 7 or h.shape[2] != 7:
+            h = resize_bilinear_align_corners(h, (7, 7))
+        style = h.reshape(B, -1)
+        style = nn.leaky_relu(nn.Dense(128)(style), negative_slope=0.01)
+        style = nn.leaky_relu(nn.Dense(128)(style), negative_slope=0.01)
+        style = nn.Dense(self.out_channels * 2)(style).reshape(
+            B, 2, self.out_channels
+        )
+        mean = style[:, 1] - mean_shift
+        var = style[:, 0] + 1.0 - var_shift
+        return x * var[:, None, None, :] + mean[:, None, None, :]
+
+
+class AuxiBlock(nn.Module):
+    """Auxi fusion block (network_auxi.py:58-75): resize top to lateral,
+    concat, 1x1 conv-BN-relu, 3x3 conv-BN-relu."""
+
+    dim_out: int
+
+    @nn.compact
+    def __call__(self, top, lateral, train: bool = False):
+        if top.shape[1:3] != lateral.shape[1:3]:
+            top = resize_bilinear_align_corners(top, lateral.shape[1:3])
+        out = jnp.concatenate([lateral, top], axis=-1)
+        norm = lambda: nn.BatchNorm(
+            use_running_average=not train, momentum=0.5, epsilon=1e-5
+        )
+        out = nn.relu(norm()(nn.Conv(self.dim_out, (1, 1), use_bias=False)(out)))
+        out = nn.relu(
+            norm()(nn.Conv(self.dim_out, (3, 3), padding=[(1, 1), (1, 1)])(out))
+        )
+        return out
+
+
+class ASPP(nn.Module):
+    """Atrous spatial pyramid pooling (network_auxi.py:897-946): four
+    parallel dilated convs (rates 1/6/12/18), each conv→relu→BN, concat."""
+
+    planes: int = 128
+    rates: tuple = (1, 6, 12, 18)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        outs = []
+        for rate in self.rates:
+            k = 1 if rate == 1 else 3
+            pad = 0 if rate == 1 else rate
+            y = nn.Conv(
+                self.planes, (k, k), padding=[(pad, pad), (pad, pad)],
+                kernel_dilation=(rate, rate),
+            )(x)
+            y = nn.relu(y)
+            y = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5
+            )(y)
+            outs.append(y)
+        return jnp.concatenate(outs, axis=-1)
 
 
 class AO(nn.Module):

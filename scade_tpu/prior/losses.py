@@ -554,3 +554,35 @@ def criterion(key, pred_depth, batch, loss_mode: str, input_size=(448, 448)):
 
     loss["total_loss"] = sum(loss.values()) if loss else jnp.zeros((), jnp.float32)
     return loss, total
+
+
+def auxi_criterion(key, pred_disp, batch, loss_mode: str,
+                   auxi_weight: float = 0.5):
+    """ModelLoss.auxi_loss for the disparity branch
+    (multi_depth_model_auxiv2.py:229-248): the *-auxi_ substring losses on
+    pred vs batch['disp'], total scaled by LOSS_AUXI_WEIGHT (config.py:99).
+    Returns (loss_dict, per_image_total (B,))."""
+    if "disp" not in batch:
+        z = jnp.zeros((), jnp.float32)
+        return {"total_loss": z}, jnp.zeros((pred_disp.shape[0],), jnp.float32)
+    gt = batch["disp"]
+    B = gt.shape[0]
+    lm = loss_mode.lower()
+    loss = {}
+    total = jnp.zeros((B,), jnp.float32)
+    if "_ranking-edge-auxi_" in lm:
+        cur = ranking_edge_loss(key, pred_disp, gt, batch["rgb"])
+        loss["ranking-edge_auxiloss"] = jnp.sum(cur)
+        total = total + cur
+    if "_msgil-normal-auxi_" in lm:
+        cur = msgil_loss(pred_disp, gt) * 0.5
+        loss["msg_normal_auxiloss"] = jnp.sum(cur)
+        total = total + cur
+    if "_meanstd-tanh-auxi_" in lm:
+        cur = ilnr_loss(pred_disp, gt)
+        loss["meanstd-tanh_auxiloss"] = jnp.sum(cur)
+        total = total + cur
+    total = total * auxi_weight
+    loss["total_loss"] = sum(v for k, v in loss.items() if k != "total_loss") * auxi_weight \
+        if loss else jnp.zeros((), jnp.float32)
+    return loss, total

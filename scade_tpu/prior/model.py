@@ -23,7 +23,16 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from scade_tpu.prior.blocks import AO, FFM, FTB, AdaIn, Bottleneck, upsample_bilinear_align_corners
+from scade_tpu.prior.blocks import (
+    AO,
+    FFM,
+    FTB,
+    AdaIn,
+    AdaInV2,
+    AuxiBlock,
+    Bottleneck,
+    upsample_bilinear_align_corners,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -42,9 +51,12 @@ class PriorConfig:
 
 
 class ResNeXtCIMLE(nn.Module):
-    """4-level feature pyramid with AdaIn taps (Resnext_torch.py:336-508)."""
+    """4-level feature pyramid with AdaIn taps (Resnext_torch.py:336-508).
+    With use_adain=False this is the plain ResNeXt backbone (z/shifts are
+    ignored) used by the decoder-side cIMLE variant and the baseline model."""
 
     cfg: PriorConfig
+    use_adain: bool = True
 
     @nn.compact
     def __call__(self, x, z, shifts, train: bool = False, return_adain: bool = False):
@@ -55,7 +67,8 @@ class ResNeXtCIMLE(nn.Module):
 
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
                     use_bias=False, name="conv1")(x)
-        x = AdaIn(64, name="style_mod0")(x, z, shifts["mean0"], shifts["var0"])
+        if self.use_adain:
+            x = AdaIn(64, name="style_mod0")(x, z, shifts["mean0"], shifts["var0"])
         adain0 = x
         x = nn.relu(norm()(x))
         # maxpool(3, 2, padding=1)
@@ -83,9 +96,10 @@ class ResNeXtCIMLE(nn.Module):
                 )(x, train)
                 inplanes = out_ch
             if li < 3:
-                x = AdaIn(out_ch, name=f"style_mod{li + 1}")(
-                    x, z, shifts[f"mean{li + 1}"], shifts[f"var{li + 1}"]
-                )
+                if self.use_adain:
+                    x = AdaIn(out_ch, name=f"style_mod{li + 1}")(
+                        x, z, shifts[f"mean{li + 1}"], shifts[f"var{li + 1}"]
+                    )
                 adains.append(x)
             features.append(x)
 
@@ -95,12 +109,14 @@ class ResNeXtCIMLE(nn.Module):
 
 
 class Decoder(nn.Module):
-    """LeReS top-down decoder (network_auxi.py:173-231)."""
+    """LeReS top-down decoder (network_auxi.py:173-231). With
+    return_auxi=True also returns the 6 intermediate maps the auxi branch
+    consumes (:216-220)."""
 
     cfg: PriorConfig
 
     @nn.compact
-    def __call__(self, features, train: bool = False):
+    def __call__(self, features, train: bool = False, return_auxi: bool = False):
         mid = list(self.cfg.lateral_out[::-1])  # [256, 256, 256, 512]
 
         x_32x = FTB(mid[3], name="conv")(features[3], train)
@@ -109,7 +125,66 @@ class Decoder(nn.Module):
         x_8 = FFM(mid[2], mid[2], name="ffm2")(features[2], x_16, train)
         x_4 = FFM(mid[1], mid[1], name="ffm1")(features[1], x_8, train)
         x_2 = FFM(mid[0], mid[0], name="ffm0")(features[0], x_4, train)
+        out = AO(mid[0], 1, 2, name="outconv")(x_2, train)
+        if return_auxi:
+            return out, [x_32x, x_32, x_16, x_8, x_4, x_2]
+        return out
+
+
+class DecoderCIMLE(nn.Module):
+    """Decoder-side cIMLE (network_auxi.py:320-520): the plain decoder with
+    AdaIn(z) injected at 4 taps — features[3], post-FTB x_32x, x_8, x_4
+    (version "v2"; versions v3-v6 swap AdaIn for the image-conditioned
+    AdaInV2 at progressively fewer taps)."""
+
+    cfg: PriorConfig
+    version: str = "v2"
+
+    @nn.compact
+    def __call__(self, features, z, shifts, input_image=None,
+                 train: bool = False):
+        mid = list(self.cfg.lateral_out[::-1])
+        inch = list(self.cfg.bottleneck_dims)
+        v = self.version
+        n_taps = {"v2": 4, "v3": 4, "v4": 3, "v5": 2, "v6": 1}[v]
+        dims = [inch[3], mid[3], mid[2], mid[1]]
+
+        def style(i, x):
+            if i >= n_taps:
+                return x
+            if v == "v2":
+                return AdaIn(dims[i], name=f"style_mod{i}")(
+                    x, z, shifts[f"mean{i}"], shifts[f"var{i}"]
+                )
+            return AdaInV2(dims[i], name=f"style_mod{i}")(
+                x, z, input_image, shifts[f"mean{i}"], shifts[f"var{i}"]
+            )
+
+        f3 = style(0, features[3])
+        x_32x = FTB(mid[3], name="conv")(f3, train)
+        x_32x = style(1, x_32x)
+        x_32 = nn.Conv(mid[2], (3, 3), padding=[(1, 1), (1, 1)], name="conv1")(x_32x)
+        x_16 = upsample_bilinear_align_corners(x_32, 2)
+        x_8 = FFM(mid[2], mid[2], name="ffm2")(features[2], x_16, train)
+        x_8 = style(2, x_8)
+        x_4 = FFM(mid[1], mid[1], name="ffm1")(features[1], x_8, train)
+        x_4 = style(3, x_4)
+        x_2 = FFM(mid[0], mid[0], name="ffm0")(features[0], x_4, train)
         return AO(mid[0], 1, 2, name="outconv")(x_2, train)
+
+
+class AuxiNetV2(nn.Module):
+    """Auxi disparity branch over the decoder intermediates
+    (network_auxi.py:77-124)."""
+
+    width: int = 128
+
+    @nn.compact
+    def __call__(self, auxi_in, train: bool = False):
+        out = AuxiBlock(self.width, name="auxi_block1")(auxi_in[0], auxi_in[1], train)
+        for i, lateral in enumerate(auxi_in[2:], start=2):
+            out = AuxiBlock(self.width, name=f"auxi_block{i}")(out, lateral, train)
+        return AO(self.width, 1, 2, name="out_conv")(out, train)
 
 
 class DepthModelCIMLE(nn.Module):
@@ -135,6 +210,54 @@ def zero_shifts(cfg: PriorConfig):
         out[f"mean{i}"] = jnp.zeros((d,), jnp.float32)
         out[f"var{i}"] = jnp.zeros((d,), jnp.float32)
     return out
+
+
+def zero_shifts_dec(cfg: PriorConfig):
+    """AdaIn shift dims for the decoder-side variant (train_single.py:310-313:
+    2048/512/256/256)."""
+    dims = (cfg.bottleneck_dims[3], cfg.lateral_out[0],
+            cfg.lateral_out[1], cfg.lateral_out[2])
+    out = {}
+    for i, d in enumerate(dims):
+        out[f"mean{i}"] = jnp.zeros((d,), jnp.float32)
+        out[f"var{i}"] = jnp.zeros((d,), jnp.float32)
+    return out
+
+
+class DepthModelCIMLEDec(nn.Module):
+    """Decoder-side cIMLE: plain ResNeXt encoder + DecoderCIMLE
+    (RelDepthModel_cIMLE_decoder / DepthModel_cIMLE_v2,
+    multi_depth_model_auxiv2.py:115-178,506-548)."""
+
+    cfg: PriorConfig
+    version: str = "v2"
+
+    @nn.compact
+    def __call__(self, x, z, shifts, train: bool = False):
+        feats = ResNeXtCIMLE(self.cfg, use_adain=False, name="encoder")(
+            x, z, shifts, train
+        )
+        return DecoderCIMLE(self.cfg, self.version, name="decoder")(
+            feats, z, shifts, input_image=x, train=train
+        )
+
+
+class DepthModelBaseline(nn.Module):
+    """The plain (non-cIMLE) LeReS model with the auxi disparity branch
+    (RelDepthModel / DepthModel, multi_depth_model_auxiv2.py:14-52,451-469)."""
+
+    cfg: PriorConfig
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        feats = ResNeXtCIMLE(self.cfg, use_adain=False, name="encoder")(
+            x, None, None, train
+        )
+        logit, auxi_in = Decoder(self.cfg, name="decoder")(
+            feats, train, return_auxi=True
+        )
+        auxi = AuxiNetV2(name="auxi")(auxi_in, train)
+        return logit, auxi
 
 
 def init_prior(key, cfg: PriorConfig, image_size=(448, 448)):
