@@ -32,3 +32,8 @@ hypothesis .npy layout, `.tar` checkpoint schema, and output layout.
 __version__ = "0.1.0"
 
 from scade_tpu import ops  # noqa: F401
+
+__all__ = [
+    "ops", "models", "render", "train", "eval", "data", "parallel",
+    "prior", "utils",
+]

@@ -28,10 +28,13 @@ from scade_tpu.ops.sampling import (
 )
 from scade_tpu.ops.losses import (
     compute_depth_loss,
+    compute_monosdf_styleloss,
     compute_scale_and_shift,
     compute_space_carving_loss,
     img2mse,
+    is_not_in_expected_distribution,
     mse2psnr,
+    precompute_quadratic_samples,
 )
 from scade_tpu.ops.metrics import compute_rmse, psnr_from_mse, ssim, to8b, to16b
 
@@ -55,10 +58,13 @@ __all__ = [
     "sample_pdf_joint_return_u",
     "sample_pdf_return_u",
     "compute_depth_loss",
+    "compute_monosdf_styleloss",
     "compute_scale_and_shift",
     "compute_space_carving_loss",
     "img2mse",
+    "is_not_in_expected_distribution",
     "mse2psnr",
+    "precompute_quadratic_samples",
     "compute_rmse",
     "psnr_from_mse",
     "ssim",
