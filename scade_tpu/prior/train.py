@@ -97,13 +97,18 @@ def _param_label(path) -> str:
     return "decoder"
 
 
-def make_prior_optimizer(params, tc: PriorTrainConfig):
+def make_prior_optimizer(params, tc: PriorTrainConfig,
+                         fixed_backbone: bool = False):
     """SGD momentum 0.9 with per-group LRs + decoupled L2 + grad-norm clip 10
     (ModelOptimizer_AdaIn, multi_depth_model_auxiv2.py:385-450).
 
     torch SGD applies weight_decay by adding wd*param to the gradient
     BEFORE momentum — optax.sgd + add_decayed_weights ordering replicates
-    that (add decayed weights first, then trace)."""
+    that (add decayed weights first, then trace).
+
+    fixed_backbone=True trains only the AdaIn style MLPs (the reference's
+    PRETRAIN_MLP pretrain_optimizer, train_single.py:537-544 /
+    multi_depth_model_auxiv2.py:430-436)."""
     labels = jax.tree_util.tree_map_with_path(lambda p, _: _param_label(p), params)
 
     def group(lr):
@@ -117,16 +122,21 @@ def make_prior_optimizer(params, tc: PriorTrainConfig):
             optax.sgd(learning_rate=lr, momentum=0.9),
         )
 
+    if fixed_backbone:
+        transforms = {
+            "encoder": optax.set_to_zero(),
+            "decoder": optax.set_to_zero(),
+            "style": group(tc.mlp_lr),
+        }
+    else:
+        transforms = {
+            "encoder": group(tc.base_lr),
+            "decoder": group(tc.base_lr * tc.scale_decoder_lr),
+            "style": group(tc.mlp_lr),
+        }
     opt = optax.chain(
         optax.clip_by_global_norm(tc.grad_clip),
-        optax.multi_transform(
-            {
-                "encoder": group(tc.base_lr),
-                "decoder": group(tc.base_lr * tc.scale_decoder_lr),
-                "style": group(tc.mlp_lr),
-            },
-            labels,
-        ),
+        optax.multi_transform(transforms, labels),
     )
     return opt
 

@@ -33,6 +33,9 @@ def main():
     ap.add_argument("--num_samples", type=int, default=20)
     ap.add_argument("--mini_batch_size", type=int, default=5)
     ap.add_argument("--adain_subset", type=int, default=100)
+    ap.add_argument("--pretrain_mlp_epochs", type=int, default=0,
+                    help="train only the AdaIn style MLPs for the first N "
+                         "epochs (reference PRETRAIN_MLP)")
     ap.add_argument("--seed_num", type=int, default=0)
     ap.add_argument("--small_model", action="store_true",
                     help="tiny ResNeXt variant (tests only)")
@@ -95,6 +98,10 @@ def main():
     opt = make_prior_optimizer(variables["params"], tc)
     opt_state = opt.init(variables["params"])
     step_fn = make_train_step(model, tc, opt)
+    if args.pretrain_mlp_epochs > 0:
+        pre_opt = make_prior_optimizer(variables["params"], tc, fixed_backbone=True)
+        pre_opt_state = pre_opt.init(variables["params"])
+        pre_step_fn = make_train_step(model, tc, pre_opt)
 
     shifts = zero_shifts(cfg)
     mv_path = os.path.join(args.log_dir, "mean_var_adain.npy")
@@ -127,10 +134,16 @@ def main():
             z = jnp.asarray(selected_z[idx : idx + B])
             idx += B
             key, k = jax.random.split(key)
-            params, batch_stats, opt_state, total, loss_dict = step_fn(
-                variables["params"], variables["batch_stats"], opt_state,
-                shifts, {k2: jnp.asarray(v) for k2, v in batch.items()}, z, k,
-            )
+            if args.pretrain_mlp_epochs > 0 and epoch < args.pretrain_mlp_epochs:
+                params, batch_stats, pre_opt_state, total, loss_dict = pre_step_fn(
+                    variables["params"], variables["batch_stats"], pre_opt_state,
+                    shifts, {k2: jnp.asarray(v) for k2, v in batch.items()}, z, k,
+                )
+            else:
+                params, batch_stats, opt_state, total, loss_dict = step_fn(
+                    variables["params"], variables["batch_stats"], opt_state,
+                    shifts, {k2: jnp.asarray(v) for k2, v in batch.items()}, z, k,
+                )
             variables = {"params": params, "batch_stats": batch_stats}
             epoch_losses.append(float(total))
         print(f"Epoch {epoch}/{args.epochs}: loss {np.mean(epoch_losses):.5f}")
