@@ -97,6 +97,15 @@ def dump_depth_hypotheses(
                     os.path.join(out_dir, f"{img_id}_{k_i}_preview.png"),
                     cv2.applyColorMap(prev, cv2.COLORMAP_TURBO),
                 )
+                # colored pointcloud side artifact
+                # (output_depth_hypothesis_scannet.py:548-574)
+                from scade_tpu.prior.pointcloud import reconstruct_depth
+
+                rgb_raw = cv2.imread(ex.rgb_path)[:, :, ::-1]
+                reconstruct_depth(
+                    aligned, rgb_raw, out_dir, f"{img_id}_{k_i}_pcd",
+                    focal=ex.focal_length,
+                )
         print(f"dumped {num_hypothesis} hypotheses for {img_id} "
               f"({idx + 1}/{len(ds)})")
     return out_dir
