@@ -91,6 +91,34 @@ def read_files(basedir: str, rgb_file: str, depth_file: str):
     return img, depth.astype(np.float64)
 
 
+LERES_SIZE = 448
+LERES_RGB_MEANS = np.array([0.485, 0.456, 0.406], np.float32)
+LERES_RGB_VARS = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def read_leres_image(basedir: str, rgb_file: str) -> np.ndarray:
+    """448x448 ImageNet-normalized rgb for the LeReS prior
+    (data/load_scene.py:28-48). Returns HWC float32 (the reference returns
+    a CHW torch tensor)."""
+    img = cv2.imread(os.path.join(basedir, rgb_file))[:, :, ::-1]
+    img = cv2.resize(img, (LERES_SIZE, LERES_SIZE), interpolation=cv2.INTER_LINEAR)
+    img = img.astype(np.float32) / 255.0
+    return (img - LERES_RGB_MEANS) / LERES_RGB_VARS
+
+
+def read_leres_depth(basedir: str, rgb_file: str, depth_scaling_factor: float,
+                     near: float, far: float) -> np.ndarray:
+    """448x448 GT depth via the rgb→target_depth swap, clipped to
+    [near, far] (data/load_scene.py:51-69). Returns (H, W, 1) float32."""
+    fname = os.path.join(basedir, rgb_file)
+    fname = fname.replace("rgb", "target_depth").replace(".jpg", ".png")
+    depth = cv2.imread(fname, cv2.IMREAD_UNCHANGED).astype(np.float64)
+    depth = (depth / depth_scaling_factor).astype(np.float32)
+    depth = cv2.resize(depth, (LERES_SIZE, LERES_SIZE),
+                       interpolation=cv2.INTER_NEAREST)
+    return np.clip(depth, near, far)[..., None]
+
+
 def load_ground_truth_depth(basedir, train_filenames, image_size, depth_scaling_factor):
     """GT depth via the rgb→target_depth filename swap (data/load_scene.py:72-91)."""
     H, W = image_size

@@ -180,7 +180,10 @@ def train_nerf(scene, args):
     # hosts run the same jitted steps (they must, for the collectives), but
     # checkpoints/logs/test renders are written once
     is_primary = jax.process_index() == 0
-    tb = Writer(os.path.join("runs", args.expname)) if is_primary else None
+    # the wild runner logs under runs_prior_corrected (run_scade_wild.py:842)
+    tb_root = "runs_prior_corrected" if getattr(args, "mask_edges", None) is not None \
+        else "runs"
+    tb = Writer(os.path.join(tb_root, args.expname)) if is_primary else None
     lpips_fn = LPIPSAlex()
 
     def scene_vars(params):
