@@ -19,7 +19,7 @@ def test_cli_train_multidevice(tmp_path):
          os.path.join(os.path.dirname(__file__), "..", "tools",
                       "make_synthetic_scene.py"),
          str(scene), "--H", "32", "--W", "48", "--K", "2",
-         "--n_train", "2", "--n_val", "1", "--n_test", "1", "--n_video", "0"],
+         "--n_train", "2", "--n_val", "1", "--n_test", "1", "--n_video", "2"],
         check=True,
     )
 
@@ -39,3 +39,16 @@ def test_cli_train_multidevice(tmp_path):
     assert metrics.exists()
     text = metrics.read_text()
     assert "psnr" in text and "nan" not in text.lower()
+
+    # video task from the same checkpoint (16:9 crop path; frames fallback
+    # since this image has no mp4 encoder)
+    main("scannet", [
+        "video", "--data_dir", str(tmp_path), "--scene_id", "scene",
+        "--ckpt_dir", str(tmp_path / "ckpt"), "--expname", "mdev",
+        "--cimle_dir", "dump", "--num_hypothesis", "2",
+        "--N_samples", "8", "--N_importance", "16", "--multires", "4",
+        "--chunk", "2048",
+    ])
+    video_dir = result_dir / "video_0"
+    frames = [f for f in os.listdir(video_dir) if f.endswith(".jpg")]
+    assert frames, "no video frames written"
