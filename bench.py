@@ -15,8 +15,9 @@ import jax
 import jax.numpy as jnp
 
 NORTH_STAR_RAYS_PER_SEC = 5e6
-BATCH = 65536
-ITERS = 10
+# big batch amortizes the ~78 ms tunnel round-trip per materialization
+BATCH = 131072
+ITERS = 6
 
 
 def main():
