@@ -169,8 +169,10 @@ def compute_adain_stats(model, variables, batches: Iterable[dict], key,
     for j in range(4):
         stack = np.stack(per_image[j])  # (n_images, C)
         shifts[f"mean{j}"] = jnp.asarray(stack.mean(0), jnp.float32)
-        # torch.var defaults to the unbiased estimator (:357-360)
-        shifts[f"var{j}"] = jnp.asarray(stack.var(0, ddof=1), jnp.float32)
+        # torch.var defaults to the unbiased estimator (:357-360); with a
+        # single image that's 0/0 — fall back to zero variance shift
+        ddof = 1 if stack.shape[0] > 1 else 0
+        shifts[f"var{j}"] = jnp.asarray(stack.var(0, ddof=ddof), jnp.float32)
 
     if out_path is not None:
         os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
