@@ -101,8 +101,9 @@ void parallel_for(int64_t n, int n_threads, void (*fn)(int64_t, void*),
 struct LoadJob {
   const char** paths;
   float* out;
-  const int64_t* offsets;  // per-array start (in floats) within out
-  int64_t* counts;         // out: per-array float counts (or -1 on error)
+  const int64_t* offsets;     // per-array start (in floats) within out
+  const int64_t* capacities;  // per-array float capacity within out
+  int64_t* counts;            // out: per-array float counts (or -1 on error)
 };
 
 void load_one(int64_t i, void* ctx) {
@@ -114,7 +115,10 @@ void load_one(int64_t i, void* ctx) {
   }
   int64_t n = 0;
   const int64_t payload = parse_npy_header(f, &n);
-  if (payload < 0) {
+  // The caller sized the output region from an earlier pre-pass; if the
+  // file grew between the two passes, trusting this second header parse
+  // would overrun the caller's buffer — fail the file instead.
+  if (payload < 0 || n > job->capacities[i]) {
     fclose(f);
     job->counts[i] = -1;
     return;
@@ -145,12 +149,14 @@ int64_t scade_npy_count(const char* path) {
 }
 
 // Parallel-load n .npy float32 files into `out`; `offsets[i]` is the float
-// offset of file i within `out`; fills counts[i] with per-file float counts
-// (-1 on failure). Returns 0 on success, k>0 = number of failed files.
+// offset of file i within `out` and `capacities[i]` the region's float
+// capacity; fills counts[i] with per-file float counts (-1 on failure,
+// including a file whose header now claims more floats than its capacity).
+// Returns 0 on success, k>0 = number of failed files.
 int64_t scade_load_npy_batch(const char** paths, int64_t n,
-                             const int64_t* offsets, float* out,
-                             int64_t* counts, int n_threads) {
-  LoadJob job{paths, out, offsets, counts};
+                             const int64_t* offsets, const int64_t* capacities,
+                             float* out, int64_t* counts, int n_threads) {
+  LoadJob job{paths, out, offsets, capacities, counts};
   parallel_for(n, n_threads, load_one, &job);
   int64_t failures = 0;
   for (int64_t i = 0; i < n; ++i)

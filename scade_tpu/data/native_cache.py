@@ -47,7 +47,17 @@ def _load_lib():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH) and not _build_if_possible():
+    src = os.path.join(
+        os.path.dirname(__file__), "..", "..", "native", "scene_cache.cc"
+    )
+    stale = (
+        os.path.exists(_LIB_PATH)
+        and os.path.exists(src)
+        and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
+    )
+    if (not os.path.exists(_LIB_PATH) or stale) and not _build_if_possible():
+        if stale:
+            return None  # ABI may have changed; don't load a stale binary
         return None
     lib = ctypes.CDLL(_LIB_PATH)
     lib.scade_npy_count.restype = ctypes.c_int64
@@ -55,8 +65,9 @@ def _load_lib():
     lib.scade_load_npy_batch.restype = ctypes.c_int64
     lib.scade_load_npy_batch.argtypes = [
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64,
-        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_float),
-        ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int,
     ]
     lib.scade_write_blob.restype = ctypes.c_int64
     lib.scade_write_blob.argtypes = [
@@ -94,6 +105,7 @@ def load_npy_batch(paths: Sequence[str], n_threads: int = 0) -> List[np.ndarray]
     offsets = np.zeros(n, np.int64)
     np.cumsum(counts_pre[:-1], out=offsets[1:])
     total = int(offsets[-1] + counts_pre[-1]) if n else 0
+    capacities = np.asarray(counts_pre, np.int64)
     out = np.empty(total, np.float32)
     counts = np.empty(n, np.int64)
 
@@ -101,6 +113,7 @@ def load_npy_batch(paths: Sequence[str], n_threads: int = 0) -> List[np.ndarray]
     failures = lib.scade_load_npy_batch(
         c_paths, n,
         offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        capacities.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         n_threads,

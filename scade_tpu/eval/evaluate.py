@@ -112,9 +112,13 @@ def render_images_with_metrics(
         res["target_depths"][n] = (target_depth[..., :1] / far)
         res["target_valid_depths"][n] = target_valid
 
-        metrics = {"img_loss": img_loss, "psnr": psnr, "ssim": ssim_val}
-        if np.isfinite(lpips_val):
-            metrics["lpips"] = lpips_val
+        # lpips is always reported (NaN-explicit when weights are absent)
+        # so metrics.txt keeps the column the reference always prints
+        # (reference :371,384)
+        metrics = {
+            "img_loss": img_loss, "psnr": psnr, "ssim": ssim_val,
+            "lpips": lpips_val,
+        }
         if has_fine:
             img_loss0 = float(img2mse(jnp.asarray(out["rgb0"]), jnp.asarray(target)))
             metrics["img_loss0"] = img_loss0

@@ -104,6 +104,24 @@ def args_to_configs(args):
     return rc, tc
 
 
+def _tb_grid(images: dict, with0: bool) -> np.ndarray:
+    """Side-by-side columns of vertically stacked renders, matching the
+    reference's torchvision make_grid(nrow=1) concatenation along width
+    (run_scade_scannet.py:1044-1048 train, :1063-1074 val — the val grid
+    interleaves the coarse rgbs0/depths0 columns when present)."""
+    from scade_tpu.utils.logging import make_image_grid
+
+    keys = ["rgbs"]
+    if with0 and "rgbs0" in images:
+        keys.append("rgbs0")
+    keys.append("target_rgbs")
+    keys.append("depths")
+    if with0 and "depths0" in images:
+        keys.append("depths0")
+    keys.append("target_depths")
+    return np.concatenate([make_image_grid(images[k]) for k in keys], axis=1)
+
+
 def train_nerf(scene, args):
     """Full SCADE training (reference train_nerf :830-1089). `scene` is a
     loaded scade_tpu.data.Scene. Returns the final TrainState."""
@@ -231,31 +249,44 @@ def train_nerf(scene, args):
         if i % args.i_img == 0 and is_primary:
             sv = scene_vars(state.params)
             imgs_np = np.asarray(jax.device_get(st.images))
-            depths_np = scene.depths[
-                np.concatenate([scene.i_train, scene.i_val])
-                if len(scene.i_val)
+            # depths/valid must align row-for-row with st.images: train split
+            # then the substituted val split (test when i_val is empty) —
+            # mirror scene_tensors_from_scene (reference :843-847)
+            i_val_global = scene.i_val if len(scene.i_val) else scene.i_test
+            i_rel = (
+                np.concatenate([scene.i_train, i_val_global])
+                if len(i_val_global)
                 else scene.i_train
-            ]
-            valid_np = scene.valid_depths[
-                np.concatenate([scene.i_train, scene.i_val])
-                if len(scene.i_val)
-                else scene.i_train
-            ]
+            )
+            depths_np = scene.depths[i_rel]
+            valid_np = scene.valid_depths[i_rel]
             poses_np = np.asarray(jax.device_get(st.poses))
             intr_np = np.asarray(jax.device_get(st.intrinsics))
-            mean_val, _ = render_images_with_metrics(
-                min(8, len(i_val_local)), i_val_local, imgs_np, depths_np,
+            # 2 train renders → TB image grid (reference :1041-1048)
+            _, images_train = render_images_with_metrics(
+                min(2, n_train), np.arange(n_train), imgs_np, depths_np,
                 valid_np, poses_np, scene.H, scene.W, intr_np, sv, rc,
                 scene.near, scene.far, chunk=args.chunk // 2,
                 lpips_fn=lpips_fn, rng=np.random.default_rng(i),
             )
+            tb.add_image("train_image", _tb_grid(images_train, with0=False), i)
+            # val metrics + 8 val renders (reference :1050-1074)
+            mean_val, images_val = render_images_with_metrics(
+                min(8, len(i_val_local)), i_val_local, imgs_np, depths_np,
+                valid_np, poses_np, scene.H, scene.W, intr_np, sv, rc,
+                scene.near, scene.far, chunk=args.chunk // 2,
+                lpips_fn=lpips_fn, rng=np.random.default_rng(i + 1),
+            )
             tb.add_scalars("mse", {"val": mean_val.get("img_loss")}, i)
             tb.add_scalars("psnr", {"val": mean_val.get("psnr")}, i)
             tb.add_scalar("ssim", mean_val.get("ssim"), i)
-            if mean_val.has("lpips"):
-                tb.add_scalar("lpips", mean_val.get("lpips"), i)
+            tb.add_scalar("lpips", mean_val.get("lpips"), i)
             if mean_val.has("depth_rmse"):
                 tb.add_scalar("depth_rmse", mean_val.get("depth_rmse"), i)
+            if mean_val.has("img_loss0"):
+                tb.add_scalars("mse0", {"val": mean_val.get("img_loss0")}, i)
+                tb.add_scalars("psnr0", {"val": mean_val.get("psnr0")}, i)
+            tb.add_image("val_image", _tb_grid(images_val, with0=True), i)
 
         if i == tc.num_iterations and is_primary:
             sv = scene_vars(state.params)

@@ -93,10 +93,15 @@ class TrainState(NamedTuple):
 
 
 def staircase_lr(tc: TrainConfig):
-    """lr * rate^floor(i / step) (train_utils/hyperparameter_update.py:9-13)."""
+    """lr * rate^floor(i / step) (train_utils/hyperparameter_update.py:9-13).
+
+    optax evaluates the schedule at update count c = i - 1 (the count starts
+    at 0 on the first step) while the reference applies get_learning_rate(i)
+    with i starting at 1 — so the schedule shifts by one to make the decay
+    boundary fire at exactly iteration `decay_step`, like the reference."""
 
     def schedule(count):
-        p = jnp.floor_divide(count, tc.decay_step).astype(jnp.float32)
+        p = jnp.floor_divide(count + 1, tc.decay_step).astype(jnp.float32)
         return tc.lrate * (tc.decay_rate**p)
 
     return schedule
@@ -288,9 +293,12 @@ def make_train_step(
         ss_grads = {"scales": grads["scales"], "shifts": grads["shifts"]}
         ss_params = {"scales": state.scales, "shifts": state.shifts}
         ss_updates, ss_opt_state = ss_opt.update(ss_grads, state.ss_opt_state, ss_params)
-        # freeze scale/shift after freeze_ss iterations (:996-997) — zero the
-        # update, keep the (already-advanced) moments: matches the reference,
-        # which simply stops calling optimizer_ss.step().
+        # freeze scale/shift after freeze_ss iterations (:996-997). The
+        # reference stops calling optimizer_ss.step() entirely; we zero the
+        # update but still advance the Adam moments (a fixed-program-shape
+        # necessity). Parameter VALUES match exactly; the frozen-phase
+        # optimizer state differs, which is unobservable unless a run is
+        # un-frozen later (the reference never does).
         frozen = state.step + 1 >= tc.freeze_ss
         ss_updates = jax.tree.map(
             lambda u: jnp.where(frozen, jnp.zeros_like(u), u), ss_updates

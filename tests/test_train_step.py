@@ -101,12 +101,15 @@ def test_warm_start_gates_space_carving(rng):
 
 
 def test_staircase_lr():
+    # optax count c corresponds to reference iteration i = c + 1; the decay
+    # boundary must fire AT iteration decay_step like the reference's
+    # get_learning_rate(i) (train_utils/hyperparameter_update.py:9-13)
     tc = TrainConfig(lrate=5e-4, decay_step=100, decay_rate=0.1)
     sched = staircase_lr(tc)
-    assert float(sched(0)) == pytest.approx(5e-4)
-    assert float(sched(99)) == pytest.approx(5e-4)
-    assert float(sched(100)) == pytest.approx(5e-5)
-    assert float(sched(250)) == pytest.approx(5e-6)
+    assert float(sched(0)) == pytest.approx(5e-4)  # i=1
+    assert float(sched(98)) == pytest.approx(5e-4)  # i=99
+    assert float(sched(99)) == pytest.approx(5e-5)  # i=100: boundary
+    assert float(sched(249)) == pytest.approx(5e-6)  # i=250
 
 
 def test_multichip_sharded_step(rng):
