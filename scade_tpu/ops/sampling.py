@@ -42,6 +42,67 @@ def draw_u(key, n_rays: int, n_samples: int, det: bool = False, joint: bool = Fa
     return jax.random.uniform(key, (n_rays, n_samples), dtype=jnp.float32)
 
 
+def draw_u_sorted(key, n_rays: int, n_samples: int, det: bool = False,
+                  joint: bool = False):
+    """Per-ray ASCENDING uniform draws with the exact joint distribution of
+    the order statistics of ``n_samples`` iid U(0,1) variables.
+
+    Generated in O(S) via normalized cumulative sums of S+1 iid Exp(1)
+    spacings — no sort. Because every consumer of the importance draws in
+    SCADE is order-invariant (the fine z's are merged into a sorted union,
+    the P_depth set feeds min/mean reductions), swapping iid draws for their
+    order statistics leaves training dynamics distributionally identical
+    while making the fine-pass z-merge O(S) instead of an O(S log^2 S) sort
+    (see render/renderer.py, PARITY.md §known deviations).
+    """
+    if det:
+        return draw_u(key, n_rays, n_samples, det=True)
+    rows = 1 if joint else n_rays
+    e = jax.random.exponential(key, (rows, n_samples + 1), dtype=jnp.float32)
+    c = jnp.cumsum(e, axis=-1)
+    u = c[..., :-1] / c[..., -1:]
+    return jnp.broadcast_to(u, (n_rays, n_samples)) if joint else u
+
+
+def merge_sorted(a, b, va=None, vb=None):
+    """Merge two per-ray ASCENDING arrays into one sorted union — the
+    O(Na*Nb) compare + one-hot-matmul replacement for
+    ``sort(concat([a, b]))`` of two already-sorted sequences (the reference
+    sorts the full union every fine pass, run_scade_scannet.py:678-683).
+
+    a: (..., Na), b: (..., Nb). Optionally carries per-sample payloads
+    va: (..., Na, C) / vb: (..., Nb, C) through the same permutation.
+    Returns merged (..., Na+Nb) [, merged payload (..., Na+Nb, C)].
+
+    The merged rank of a[i] is i + |{j : b[j] < a[i]}| and of b[j] is
+    j + |{i : a[i] <= b[j]}| (ties: a first — matching stable concat order);
+    the two rank sets are disjoint and cover 0..S-1, so a one-hot
+    scatter-by-matmul places every element exactly once. The matmuls are
+    a few hundred MFLOP per tile — noise next to the NeRF MLP — and map to
+    the MXU, whereas XLA's variadic sort runs on the (slow) scalar path.
+    """
+    na, nb = a.shape[-1], b.shape[-1]
+    s = na + nb
+    ra = jnp.arange(na, dtype=jnp.int32) + jnp.sum(
+        (b[..., None, :] < a[..., :, None]).astype(jnp.int32), axis=-1
+    )
+    rb = jnp.arange(nb, dtype=jnp.int32) + jnp.sum(
+        (a[..., None, :] <= b[..., :, None]).astype(jnp.int32), axis=-1
+    )
+    ks = jnp.arange(s, dtype=jnp.int32)
+    oa = (ra[..., :, None] == ks).astype(a.dtype)  # (..., Na, S)
+    ob = (rb[..., :, None] == ks).astype(b.dtype)  # (..., Nb, S)
+    merged = jnp.einsum("...is,...i->...s", oa, a) + jnp.einsum(
+        "...js,...j->...s", ob, b
+    )
+    if va is None:
+        return merged
+    vals = jnp.einsum("...is,...ic->...sc", oa.astype(va.dtype), va) + jnp.einsum(
+        "...js,...jc->...sc", ob.astype(vb.dtype), vb
+    )
+    return merged, vals
+
+
 def _searchsorted_right(cdf, u):
     """Index i per draw s.t. cdf[i-1] <= u < cdf[i], vectorized over rays.
 
@@ -67,14 +128,31 @@ def sample_pdf(bins, weights, u):
     cdf = jnp.cumsum(pdf, axis=-1)
     cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)  # (..., M)
 
-    inds = _searchsorted_right(cdf, u)
-    below = jnp.maximum(inds - 1, 0)
-    above = jnp.minimum(inds, cdf.shape[-1] - 1)
+    # Gather-free inverse CDF: instead of searchsorted + 4 take_along_axis
+    # gathers (which lower to TPU-hostile gather loops and dominated render
+    # time — see BASELINE.md), exploit that BOTH cdf and bins are ascending:
+    #   x[inds-1] = max_m { x[m] : cdf[m] <= u }        ("below")
+    #   x[min(inds, M-1)] = min_m { x[m] : cdf[m] > u } (filler x[-1] ⇒ clip)
+    # Each is one fused compare+select+reduce over the (S, M) tile on the
+    # VPU; values are BIT-IDENTICAL to the gathered ones, and the
+    # subgradient w.r.t. cdf/bins matches the gather's (flows to the one
+    # selected element). le[..., 0] is always True (cdf[0] = 0 <= u), so the
+    # "below" reductions never see an empty mask.
+    le = cdf[..., None, :] <= u[..., :, None]  # (..., S, M)
+    cdf_b = jnp.broadcast_to(cdf[..., None, :], le.shape)
+    bins_b = jnp.broadcast_to(bins[..., None, :], le.shape)
 
-    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
-    bins_below = jnp.take_along_axis(bins, below, axis=-1)
-    bins_above = jnp.take_along_axis(bins, above, axis=-1)
+    neg = jnp.float32(-jnp.inf)
+    cdf_below = jnp.max(jnp.where(le, cdf_b, neg), axis=-1)
+    bins_below = jnp.max(jnp.where(le, bins_b, neg), axis=-1)
+    cdf_above = jnp.min(
+        jnp.where(le, jnp.broadcast_to(cdf[..., None, -1:], le.shape), cdf_b),
+        axis=-1,
+    )
+    bins_above = jnp.min(
+        jnp.where(le, jnp.broadcast_to(bins[..., None, -1:], le.shape), bins_b),
+        axis=-1,
+    )
 
     denom = cdf_above - cdf_below
     denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from scade_tpu.models.nerf import NeRFConfig, nerf_apply
 from scade_tpu.ops.embedding import Embedder, positional_encoding
 from scade_tpu.ops.rays import get_rays
-from scade_tpu.ops.sampling import draw_u, sample_pdf
+from scade_tpu.ops.sampling import draw_u, draw_u_sorted, merge_sorted, sample_pdf
 from scade_tpu.ops.volume import perturb_z_vals, raw2outputs, stratified_z_vals
 
 
@@ -216,18 +216,17 @@ def render_rays(
         # (run_scade_scannet.py:664-695). The reference crashes here on an
         # undefined `u`; we return the second-tier draws' u instead.
         z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
-        u1 = draw_u(k_imp, n_rays, rc.n_samples, det=det, joint=rc.is_joint)
+        # sorted-order-statistic draws (distributionally identical to iid;
+        # every consumer is order-invariant) make z_vals_2 ascending, so the
+        # union is a cheap merge instead of a full sort (see ops/sampling.py)
+        u1 = draw_u_sorted(k_imp, n_rays, rc.n_samples, det=det, joint=rc.is_joint)
         z_vals_2 = sample_pdf(z_mid, weights[..., 1:-1], u1)
 
         pts2 = rays_o[..., None, :] + rays_d[..., None, :] * z_vals_2[..., :, None]
         raw2 = _query_network(
             scene.params_coarse, rc.nerf_coarse, rc, pts2, viewdirs, scene
         )
-        z_all = jnp.concatenate([z_vals, z_vals_2], axis=-1)
-        raw_all = jnp.concatenate([raw, raw2], axis=1)
-        order = jnp.argsort(z_all, axis=-1)
-        z_all = jnp.take_along_axis(z_all, order, axis=-1)
-        raw_all = jnp.take_along_axis(raw_all, order[..., None], axis=1)
+        z_all, raw_all = merge_sorted(z_vals, z_vals_2, raw, raw2)
         noise1 = _density_noise(k_noise1, raw_all[..., 3].shape, rc.raw_noise_std)
         rgb_map, disp_map, acc_map, weights, depth_map = raw2outputs(
             raw_all, z_all, rays_d, noise1
@@ -258,12 +257,15 @@ def render_rays(
     )
 
     z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
-    u_imp = draw_u(k_imp, n_rays, rc.n_importance, det=det, joint=False)
+    # sorted-order-statistic draws (same joint law as iid — consumers are
+    # order-invariant) keep z_samples ascending so the coarse∪fine union is
+    # an O(S) merge, not a sort (418 ms/65k rays on TPU — BASELINE.md)
+    u_imp = draw_u_sorted(k_imp, n_rays, rc.n_importance, det=det)
     z_samples = sample_pdf(z_mid, weights[..., 1:-1], u_imp)
     # fine positions don't backprop into coarse weights (reference :711)
     z_samples = jax.lax.stop_gradient(z_samples)
 
-    z_all = jnp.sort(jnp.concatenate([z_vals, z_samples], axis=-1), axis=-1)
+    z_all = merge_sorted(z_vals, z_samples)
     pts = rays_o[..., None, :] + rays_d[..., None, :] * z_all[..., :, None]
     raw = _query_network(scene.params_fine, rc.nerf_fine, rc, pts, viewdirs, scene)
     noise1 = _density_noise(k_noise1, raw[..., 3].shape, rc.raw_noise_std)
