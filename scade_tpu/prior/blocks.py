@@ -111,6 +111,40 @@ class Bottleneck(nn.Module):
         return nn.relu(y + identity)
 
 
+class BasicBlock(nn.Module):
+    """torchvision ResNet basic block, used by the reference's plain
+    ResNet-18/34 backbones (reference:
+    ambiguity_aware_prior/lib/models/Resnet.py:27-56): two 3x3 convs with
+    BN, stride on the first, identity (or 1x1-conv) skip."""
+
+    planes: int
+    stride: int = 1
+    has_downsample: bool = False
+    expansion: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm = lambda: nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5
+        )
+        identity = x
+        y = nn.Conv(
+            self.planes, (3, 3), strides=(self.stride, self.stride),
+            padding=[(1, 1), (1, 1)], use_bias=False,
+        )(x)
+        y = nn.relu(norm()(y))
+        y = nn.Conv(self.planes, (3, 3), padding=[(1, 1), (1, 1)],
+                    use_bias=False)(y)
+        y = norm()(y)
+        if self.has_downsample:
+            identity = nn.Conv(
+                self.planes, (1, 1), strides=(self.stride, self.stride),
+                use_bias=False, name="downsample_conv",
+            )(x)
+            identity = norm()(identity)
+        return nn.relu(y + identity)
+
+
 class FTB(nn.Module):
     """Feature-transfer block: conv → residual conv-BN-conv branch → relu
     (network_auxi.py:709-757).
@@ -178,7 +212,9 @@ class AdaInV2(nn.Module):
         # other sizes, pool to a fixed 7x7 first
         if h.shape[1] != 7 or h.shape[2] != 7:
             h = resize_bilinear_align_corners(h, (7, 7))
-        style = h.reshape(B, -1)
+        # flatten in the reference's NCHW (channel-major) order so the style
+        # MLP weights translate 1:1 from torch (Resnext_torch.py:575-576)
+        style = jnp.transpose(h, (0, 3, 1, 2)).reshape(B, -1)
         style = nn.leaky_relu(nn.Dense(128)(style), negative_slope=0.01)
         style = nn.leaky_relu(nn.Dense(128)(style), negative_slope=0.01)
         style = nn.Dense(self.out_channels * 2)(style).reshape(

@@ -30,6 +30,7 @@ from scade_tpu.prior.blocks import (
     AdaIn,
     AdaInV2,
     AuxiBlock,
+    BasicBlock,
     Bottleneck,
     upsample_bilinear_align_corners,
 )
@@ -41,34 +42,92 @@ class PriorConfig:
     layers: Sequence[int] = (3, 4, 23, 3)  # ResNeXt101
     groups: int = 32
     base_width: int = 8
+    block: str = "bottleneck"  # "bottleneck" (50/101/152/X101) | "basic" (18/34)
     bottleneck_dims: Sequence[int] = (256, 512, 1024, 2048)
     lateral_out: Sequence[int] = (512, 256, 256, 256)  # cfg.MODEL.LATERAL_OUT
     small: bool = False  # tiny variant for tests
+
+    @property
+    def expansion(self) -> int:
+        return 1 if self.block == "basic" else 4
 
     def with_small(self):
         """A shape-compatible tiny model for CI (layers [1,1,1,1], width/8)."""
         return dataclasses.replace(self, layers=(1, 1, 1, 1))
 
 
+# The reference encoder zoo (network_auxi.py:16-50 factories + Resnet.py
+# resnet18/34/50/101/152 + Resnext_torch.py resnext101_32x8d). Each entry:
+# (layers, groups, base_width, block). The reference decoder hard-codes
+# in-channels [256, 512, 1024, 2048] (cfg.MODEL.RESNET_BOTTLENECK_DIM), so
+# its basic-block backbones (18/34, emitting [64, 128, 256, 512]) crash at
+# the first decoder conv; our convs infer in-channels, so every zoo entry
+# actually runs (documented deviation, PARITY.md).
+_BACKBONES = {
+    "resnet18": ((2, 2, 2, 2), 1, 64, "basic"),
+    "resnet34": ((3, 4, 6, 3), 1, 64, "basic"),
+    "resnet50": ((3, 4, 6, 3), 1, 64, "bottleneck"),
+    "resnet101": ((3, 4, 23, 3), 1, 64, "bottleneck"),
+    "resnet152": ((3, 8, 36, 3), 1, 64, "bottleneck"),
+    "resnext101_32x8d": ((3, 4, 23, 3), 32, 8, "bottleneck"),
+}
+
+
+def backbone_config(name: str = "resnext101_32x8d", d_latent: int = 32,
+                    **overrides) -> PriorConfig:
+    """PriorConfig for a named reference backbone (the `resnet*_stride32` /
+    `resnext101_stride32x8d` factory surface, network_auxi.py:16-50)."""
+    layers, groups, base_width, block = _BACKBONES[name]
+    exp = 1 if block == "basic" else 4
+    dims = tuple(p * exp for p in (64, 128, 256, 512))
+    return PriorConfig(
+        d_latent=d_latent, layers=layers, groups=groups,
+        base_width=base_width, block=block, bottleneck_dims=dims,
+        **overrides,
+    )
+
+
 class ResNeXtCIMLE(nn.Module):
     """4-level feature pyramid with AdaIn taps (Resnext_torch.py:336-508).
-    With use_adain=False this is the plain ResNeXt backbone (z/shifts are
-    ignored) used by the decoder-side cIMLE variant and the baseline model."""
+
+    - use_adain=False: the plain backbone (z/shifts ignored) — used by the
+      decoder-side cIMLE variant and the baseline model; with a plain-ResNet
+      PriorConfig (block="basic"/groups=1) this is the reference Resnet.py
+      backbone (Resnet.py:98-157).
+    - adain_version="v2": z-only AdaIn MLP taps (ResNet_cIMLE,
+      Resnext_torch.py:336-508).
+    - adain_version="v3": image-conditioned AdaIn_v2 taps at the same four
+      positions (ResNet_cIMLE_v3, Resnext_torch.py:592-768), reachable in
+      the reference via RelDepthModel_cIMLE(version="v3") →
+      resnext101_32x8d_cIMLE(version="v3") (Resnext_torch.py:920-935).
+    """
 
     cfg: PriorConfig
     use_adain: bool = True
+    adain_version: str = "v2"
 
     @nn.compact
     def __call__(self, x, z, shifts, train: bool = False, return_adain: bool = False):
         c = self.cfg
+        input_image = x  # v3 AdaIn conditions on the raw input
         norm = lambda: nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5
         )
 
+        def style(i, h, ch):
+            if not self.use_adain:
+                return h
+            if self.adain_version == "v3":
+                return AdaInV2(ch, name=f"style_mod{i}")(
+                    h, z, input_image, shifts[f"mean{i}"], shifts[f"var{i}"]
+                )
+            return AdaIn(ch, name=f"style_mod{i}")(
+                h, z, shifts[f"mean{i}"], shifts[f"var{i}"]
+            )
+
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
                     use_bias=False, name="conv1")(x)
-        if self.use_adain:
-            x = AdaIn(64, name="style_mod0")(x, z, shifts["mean0"], shifts["var0"])
+        x = style(0, x, 64)
         adain0 = x
         x = nn.relu(norm()(x))
         # maxpool(3, 2, padding=1)
@@ -85,21 +144,24 @@ class ResNeXtCIMLE(nn.Module):
         for li in range(4):
             blocks = c.layers[li]
             stride = strides[li]
-            out_ch = planes[li] * 4
+            out_ch = planes[li] * c.expansion
             for b in range(blocks):
                 s = stride if b == 0 else 1
                 has_ds = b == 0 and (s != 1 or inplanes != out_ch)
-                x = Bottleneck(
-                    planes=planes[li], stride=s, groups=c.groups,
-                    base_width=c.base_width, has_downsample=has_ds,
-                    name=f"layer{li + 1}_{b}",
-                )(x, train)
+                if c.block == "basic":
+                    x = BasicBlock(
+                        planes=planes[li], stride=s, has_downsample=has_ds,
+                        name=f"layer{li + 1}_{b}",
+                    )(x, train)
+                else:
+                    x = Bottleneck(
+                        planes=planes[li], stride=s, groups=c.groups,
+                        base_width=c.base_width, has_downsample=has_ds,
+                        name=f"layer{li + 1}_{b}",
+                    )(x, train)
                 inplanes = out_ch
             if li < 3:
-                if self.use_adain:
-                    x = AdaIn(out_ch, name=f"style_mod{li + 1}")(
-                        x, z, shifts[f"mean{li + 1}"], shifts[f"var{li + 1}"]
-                    )
+                x = style(li + 1, x, out_ch)
                 adains.append(x)
             features.append(x)
 
@@ -175,7 +237,9 @@ class DecoderCIMLE(nn.Module):
 
 class AuxiNetV2(nn.Module):
     """Auxi disparity branch over the decoder intermediates
-    (network_auxi.py:77-124)."""
+    (network_auxi.py:77-124). The v1 AuxiNet (network_auxi.py:125-172) is
+    the identical topology at width 256 — construct with width=256 (or use
+    ``AuxiNetV1``)."""
 
     width: int = 128
 
@@ -187,15 +251,25 @@ class AuxiNetV2(nn.Module):
         return AO(self.width, 1, 2, name="out_conv")(out, train)
 
 
+class AuxiNetV1(AuxiNetV2):
+    """reference AuxiNet (v1): the 256-wide variant (network_auxi.py:125-172)."""
+
+    width: int = 256
+
+
 class DepthModelCIMLE(nn.Module):
     """encoder(x, z) → decoder → (B, H, W, 1) depth logit
-    (multi_depth_model_auxiv2.py:471-504)."""
+    (multi_depth_model_auxiv2.py:471-504). ``version`` selects the encoder
+    AdaIn flavor: "v2" (z-MLP AdaIn, the shipped path) or "v3"
+    (image-conditioned AdaIn_v2) — the RelDepthModel_cIMLE(version=...)
+    dispatch (multi_depth_model_auxiv2.py:55-58, Resnext_torch.py:931-935)."""
 
     cfg: PriorConfig
+    version: str = "v2"
 
     @nn.compact
     def __call__(self, x, z, shifts, train: bool = False, return_adain: bool = False):
-        feats = ResNeXtCIMLE(self.cfg, name="encoder")(
+        feats = ResNeXtCIMLE(self.cfg, adain_version=self.version, name="encoder")(
             x, z, shifts, train, return_adain=return_adain
         )
         if return_adain:
@@ -203,10 +277,15 @@ class DepthModelCIMLE(nn.Module):
         return Decoder(self.cfg, name="decoder")(feats, train)
 
 
+def encoder_adain_dims(cfg: PriorConfig):
+    """Channel dims at the 4 encoder AdaIn taps: post-conv1 (64) and the
+    layer1/2/3 outputs (Resnext_torch.py:355-380)."""
+    return (64,) + tuple(p * cfg.expansion for p in (64, 128, 256))
+
+
 def zero_shifts(cfg: PriorConfig):
-    dims = (64, 256, 512, 1024)
     out = {}
-    for i, d in enumerate(dims):
+    for i, d in enumerate(encoder_adain_dims(cfg)):
         out[f"mean{i}"] = jnp.zeros((d,), jnp.float32)
         out[f"var{i}"] = jnp.zeros((d,), jnp.float32)
     return out
@@ -244,9 +323,15 @@ class DepthModelCIMLEDec(nn.Module):
 
 class DepthModelBaseline(nn.Module):
     """The plain (non-cIMLE) LeReS model with the auxi disparity branch
-    (RelDepthModel / DepthModel, multi_depth_model_auxiv2.py:14-52,451-469)."""
+    (RelDepthModel / DepthModel, multi_depth_model_auxiv2.py:14-52,451-469).
+    ``auxi_version``: "v2" (width 128, the wired-up default) or "v1"
+    (width 256, network_auxi.py:125-172). The backbone follows cfg —
+    the DepthNet factory surface resnet18/34/50/101/152_stride32 and
+    resnext101_stride32x8d (network_auxi.py:16-50) maps to
+    ``backbone_config(name)``."""
 
     cfg: PriorConfig
+    auxi_version: str = "v2"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -256,13 +341,14 @@ class DepthModelBaseline(nn.Module):
         logit, auxi_in = Decoder(self.cfg, name="decoder")(
             feats, train, return_auxi=True
         )
-        auxi = AuxiNetV2(name="auxi")(auxi_in, train)
+        auxi_cls = AuxiNetV1 if self.auxi_version == "v1" else AuxiNetV2
+        auxi = auxi_cls(name="auxi")(auxi_in, train)
         return logit, auxi
 
 
-def init_prior(key, cfg: PriorConfig, image_size=(448, 448)):
+def init_prior(key, cfg: PriorConfig, image_size=(448, 448), version: str = "v2"):
     """Initialize variables {'params', 'batch_stats'} + zero AdaIn shifts."""
-    model = DepthModelCIMLE(cfg)
+    model = DepthModelCIMLE(cfg, version=version)
     x = jnp.zeros((1, image_size[0], image_size[1], 3), jnp.float32)
     z = jnp.zeros((1, cfg.d_latent), jnp.float32)
     variables = model.init(key, x, z, zero_shifts(cfg), train=False)

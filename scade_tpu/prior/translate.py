@@ -45,8 +45,10 @@ def _strip(state_dict: dict) -> dict:
     return out
 
 
-def _bottleneck_names(tli: int, tb: int, has_downsample: bool):
-    """torch layer{L}.{b}.* → (our module name, list of (torch, flax) pairs)."""
+def _bottleneck_names(tli: int, tb: int, has_downsample: bool,
+                      block: str = "bottleneck"):
+    """torch layer{L}.{b}.* → (our module name, list of (torch, flax) pairs).
+    block="basic" maps the 2-conv BasicBlock (Resnet.py:27-56)."""
     ours = f"encoder.layer{tli}_{tb}"
     base = f"encoder_modules.layer{tli}.{tb}"
     pairs = [
@@ -54,13 +56,18 @@ def _bottleneck_names(tli: int, tb: int, has_downsample: bool):
         (f"{base}.bn1", f"{ours}.BatchNorm_0", "bn"),
         (f"{base}.conv2", f"{ours}.Conv_1", "conv"),
         (f"{base}.bn2", f"{ours}.BatchNorm_1", "bn"),
-        (f"{base}.conv3", f"{ours}.Conv_2", "conv"),
-        (f"{base}.bn3", f"{ours}.BatchNorm_2", "bn"),
     ]
+    n_bn = 2
+    if block != "basic":
+        pairs += [
+            (f"{base}.conv3", f"{ours}.Conv_2", "conv"),
+            (f"{base}.bn3", f"{ours}.BatchNorm_2", "bn"),
+        ]
+        n_bn = 3
     if has_downsample:
         pairs += [
             (f"{base}.downsample.0", f"{ours}.downsample_conv", "conv"),
-            (f"{base}.downsample.1", f"{ours}.BatchNorm_3", "bn"),
+            (f"{base}.downsample.1", f"{ours}.BatchNorm_{n_bn}", "bn"),
         ]
     return pairs
 
@@ -75,47 +82,89 @@ def _ftb_pairs(torch_base: str, our_base: str):
 
 
 def _adain_pairs(torch_base: str, our_base: str):
+    """z-MLP AdaIn (network_auxi.py:233-264 / Resnext_torch.py AdaIn)."""
     return [
         (f"{torch_base}.mlp.{ti}", f"{our_base}.Dense_{fi}", "linear")
         for fi, ti in enumerate((0, 2, 4, 6))
     ]
 
 
-def name_map(cfg: PriorConfig):
-    """All (torch_name, flax_path, kind) triples for the full model."""
+def _adain_v2_pairs(torch_base: str, our_base: str):
+    """Image-conditioned AdaIn_v2 (Resnext_torch.py:538-590): conv tower at
+    Sequential indices 0/3/6, style MLP at indices 0/2/4."""
     pairs = [
-        ("encoder_modules.conv1", "encoder.conv1", "conv"),
-        ("encoder_modules.bn1", "encoder.BatchNorm_0", "bn"),
+        (f"{torch_base}.conv.{ti}", f"{our_base}.Conv_{fi}", "conv")
+        for fi, ti in enumerate((0, 3, 6))
     ]
-    for i in range(4):
-        pairs += _adain_pairs(
-            f"encoder_modules.style_mod{i}", f"encoder.style_mod{i}"
-        )
-    planes = (64, 128, 256, 512)
-    inplanes = 64
-    for li in range(4):
-        stride = 1 if li == 0 else 2
-        out_ch = planes[li] * 4
-        for b in range(cfg.layers[li]):
-            s = stride if b == 0 else 1
-            has_ds = b == 0 and (s != 1 or inplanes != out_ch)
-            pairs += _bottleneck_names(li + 1, b, has_ds)
-            inplanes = out_ch
-    # decoder
-    pairs += _ftb_pairs("decoder_modules.conv", "decoder.conv")
-    pairs += [("decoder_modules.conv1", "decoder.conv1", "conv")]
-    for name in ("ffm2", "ffm1", "ffm0"):
-        pairs += _ftb_pairs(
-            f"decoder_modules.{name}.ftb1", f"decoder.{name}.FTB_0"
-        )
-        pairs += _ftb_pairs(
-            f"decoder_modules.{name}.ftb2", f"decoder.{name}.FTB_1"
-        )
     pairs += [
-        ("decoder_modules.outconv.adapt_conv.0", "decoder.outconv.Conv_0", "conv"),
-        ("decoder_modules.outconv.adapt_conv.1", "decoder.outconv.BatchNorm_0", "bn"),
-        ("decoder_modules.outconv.adapt_conv.3", "decoder.outconv.Conv_1", "conv"),
+        (f"{torch_base}.mlp.{ti}", f"{our_base}.Dense_{fi}", "linear")
+        for fi, ti in enumerate((0, 2, 4))
     ]
+    return pairs
+
+
+def name_map(cfg: PriorConfig, version: str = "v2", adain: bool = True,
+             auxi: bool = False, decoder: bool = True, encoder: bool = True):
+    """All (torch_name, flax_path, kind) triples for a full prior model.
+
+    version: "v2" (AdaIn) or "v3" (AdaIn_v2) encoder taps.
+    adain=False: the plain backbone (DepthModel baseline — no style_mod*).
+    auxi=True: include the AuxiNetV2/V1 branch (auxi_modules.*).
+    decoder=False / encoder=False: restrict to a sub-model."""
+    pairs = []
+    if encoder:
+        pairs += [
+            ("encoder_modules.conv1", "encoder.conv1", "conv"),
+            ("encoder_modules.bn1", "encoder.BatchNorm_0", "bn"),
+        ]
+        if adain:
+            fn = _adain_v2_pairs if version == "v3" else _adain_pairs
+            for i in range(4):
+                pairs += fn(
+                    f"encoder_modules.style_mod{i}", f"encoder.style_mod{i}"
+                )
+        planes = (64, 128, 256, 512)
+        expansion = 1 if cfg.block == "basic" else 4
+        inplanes = 64
+        for li in range(4):
+            stride = 1 if li == 0 else 2
+            out_ch = planes[li] * expansion
+            for b in range(cfg.layers[li]):
+                s = stride if b == 0 else 1
+                has_ds = b == 0 and (s != 1 or inplanes != out_ch)
+                pairs += _bottleneck_names(li + 1, b, has_ds, cfg.block)
+                inplanes = out_ch
+    if decoder:
+        pairs += _ftb_pairs("decoder_modules.conv", "decoder.conv")
+        pairs += [("decoder_modules.conv1", "decoder.conv1", "conv")]
+        for name in ("ffm2", "ffm1", "ffm0"):
+            pairs += _ftb_pairs(
+                f"decoder_modules.{name}.ftb1", f"decoder.{name}.FTB_0"
+            )
+            pairs += _ftb_pairs(
+                f"decoder_modules.{name}.ftb2", f"decoder.{name}.FTB_1"
+            )
+        pairs += [
+            ("decoder_modules.outconv.adapt_conv.0", "decoder.outconv.Conv_0", "conv"),
+            ("decoder_modules.outconv.adapt_conv.1", "decoder.outconv.BatchNorm_0", "bn"),
+            ("decoder_modules.outconv.adapt_conv.3", "decoder.outconv.Conv_1", "conv"),
+        ]
+    if auxi:
+        # AuxiNetV2/V1 (network_auxi.py:77-172): 5 AuxiBlocks + AO out_conv
+        for bi in range(1, 6):
+            tb = f"auxi_modules.auxi_block{bi}"
+            ob = f"auxi.auxi_block{bi}"
+            pairs += [
+                (f"{tb}.conv1", f"{ob}.Conv_0", "conv"),
+                (f"{tb}.bn1", f"{ob}.BatchNorm_0", "bn"),
+                (f"{tb}.conv2", f"{ob}.Conv_1", "conv"),
+                (f"{tb}.bn2", f"{ob}.BatchNorm_1", "bn"),
+            ]
+        pairs += [
+            ("auxi_modules.out_conv.adapt_conv.0", "auxi.out_conv.Conv_0", "conv"),
+            ("auxi_modules.out_conv.adapt_conv.1", "auxi.out_conv.BatchNorm_0", "bn"),
+            ("auxi_modules.out_conv.adapt_conv.3", "auxi.out_conv.Conv_1", "conv"),
+        ]
     return pairs
 
 
@@ -126,10 +175,12 @@ def _set(tree: dict, path: str, leaf: str, value):
     node[leaf] = value
 
 
-def params_from_torch_state_dict(state_dict: dict, cfg: PriorConfig):
+def params_from_torch_state_dict(state_dict: dict, cfg: PriorConfig,
+                                 **map_kwargs):
     """Translate a reference prior state_dict → (params, batch_stats) trees.
     Accepts torch tensors or numpy arrays; missing keys raise KeyError with
-    the torch name (so partial loads are explicit)."""
+    the torch name (so partial loads are explicit). ``map_kwargs`` select the
+    model variant (see name_map: version/adain/auxi)."""
     sd = _strip(state_dict)
 
     def get(name):
@@ -140,7 +191,7 @@ def params_from_torch_state_dict(state_dict: dict, cfg: PriorConfig):
 
     params: dict = {}
     batch_stats: dict = {}
-    for torch_name, flax_path, kind in name_map(cfg):
+    for torch_name, flax_path, kind in name_map(cfg, **map_kwargs):
         tn = torch_name
         if kind == "conv":
             _set(params, flax_path, "kernel", _conv_w(get(tn + ".weight")))
@@ -165,11 +216,11 @@ def _get(tree: dict, path: str, leaf: str):
 
 
 def params_to_torch_state_dict(params: dict, batch_stats: dict,
-                               cfg: PriorConfig) -> dict:
+                               cfg: PriorConfig, **map_kwargs) -> dict:
     """Inverse translation: our flax trees → reference-name numpy state_dict
     (for exporting checkpoints the reference tooling can read)."""
     sd = {}
-    for torch_name, flax_path, kind in name_map(cfg):
+    for torch_name, flax_path, kind in name_map(cfg, **map_kwargs):
         if kind == "conv":
             sd[torch_name + ".weight"] = np.transpose(
                 _get(params, flax_path, "kernel"), (3, 2, 0, 1)
