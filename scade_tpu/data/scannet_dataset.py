@@ -124,6 +124,208 @@ def sample_depth_at_image_features(
     return depth, valid
 
 
+def _add_missing_depth_np(rng, depth, valid, p_missing):
+    """Host-side add_missing_depth (reference data/error_sources.py:3-15):
+    keep each valid sample with probability 1−p, zero the rest, update the
+    mask. (The jax-key variant lives in data/error_sources.py.)"""
+    keep = rng.random(depth.shape) >= p_missing
+    valid = valid & keep
+    out = np.where(valid, depth, 0.0).astype(depth.dtype)
+    return out, valid
+
+
+class TaskonomyDataset:
+    """Depth-completion dataset over taskonomy-style annotations json
+    (reference TaskonomyDataset, data/scannet_dataset.py:276-515).
+
+    Per example: rgb + sensor depth (16.38 m normalization via read_depth),
+    SfM-keypoint sparsification from a COLMAP SQLite db, missing-depth
+    corruption (p=0.998), sparse-preserving resize to load_size, optional
+    rotation / horizontal flip / color jitter, ImageNet-normalized rgbd
+    stack, and the clean (target) depth for supervision. numpy host-side
+    (NHWC); RNG is an explicit np.random.Generator.
+
+    Matches the reference's quirks: the 968x1296 ScanNet-style rgb gets
+    2-pixel height padding + nearest resize to the depth grid (:377-386);
+    the db image id is the last-3 path components of the rgb file (:394);
+    missing files yield a zeroed example with found=False (:373-376);
+    the depth channel is divided by (1 + tan|rot|) after rotation (:474).
+    """
+
+    def __init__(self, dataset_dir, data_split, db_path, random_rot=0,
+                 load_size=(240, 320), horizontal_flip=False,
+                 color_jitter=None, depth_noise=False,
+                 missing_depth_percent=0.998, rng=None):
+        import json
+
+        dir_anno = os.path.join(
+            dataset_dir, "annotations", f"{data_split}_annotations.json"
+        )
+        with open(dir_anno, "r") as f:
+            annos = json.load(f)
+        self.rgb_files = [
+            os.path.join(dataset_dir, "..", a["rgb_path"]) for a in annos
+        ]
+        self.depth_files = [
+            os.path.join(dataset_dir, "..", a["depth_path"])
+            if "depth_path" in a else None
+            for a in annos
+        ]
+        self.dataset_dir = dataset_dir
+        self.random_rot = random_rot
+        self.load_size = tuple(load_size)
+        self.horizontal_flip = horizontal_flip
+        self.color_jitter = color_jitter
+        self.depth_noise = depth_noise
+        self.missing_depth_percent = missing_depth_percent
+        self.rng = rng or np.random.default_rng()
+        self.db_path = db_path
+        con = sqlite3.connect(db_path)
+        try:
+            self.id2dbid = {
+                n[:-4]: i
+                for n, i in con.execute("SELECT name, image_id FROM images")
+            }
+        finally:
+            con.close()
+
+    def __len__(self):
+        return len(self.rgb_files)
+
+    def _zero_example(self):
+        h, w = self.load_size
+        return {
+            "rgbd": np.zeros((h, w, 4), np.float32),
+            "valid_depth": np.zeros((h, w), bool),
+            "target_depth": np.zeros((h, w, 1), np.float32),
+            "target_valid_depth": np.zeros((h, w), bool),
+            "found": False,
+        }
+
+    def __getitem__(self, index: int) -> dict:
+        bgr = cv2.imread(self.rgb_files[index])
+        if bgr is None:
+            return self._zero_example()
+        rgb = bgr[:, :, ::-1].astype(np.float32) / 255.0  # (H, W, 3)
+        depth, valid = read_depth(self.depth_files[index])
+
+        # aspect-ratio fixup for 968x1296 rgb vs 480x640 depth (:377-386)
+        if rgb.shape[0] == 968 and rgb.shape[1] == 1296:
+            pad_h = 2
+            rgb = np.pad(rgb, ((pad_h, pad_h), (0, 0), (0, 0)))
+            scale = (depth.shape[0] / rgb.shape[0], depth.shape[1] / rgb.shape[1])
+            rgb = cv2.resize(
+                rgb, (depth.shape[1], depth.shape[0]),
+                interpolation=cv2.INTER_NEAREST,
+            )
+        else:
+            pad_h = 0
+            scale = (1.0, 1.0)
+
+        img_id = "/".join(self.rgb_files[index][:-4].split("/")[-3:])
+
+        rot = float(self.rng.uniform(-self.random_rot, self.random_rot))
+        import math
+
+        tan_abs_rot = math.tan(math.radians(abs(rot)))
+        border_w = math.ceil(self.load_size[0] * tan_abs_rot)
+        border_h = math.ceil(self.load_size[1] * tan_abs_rot)
+        top, left = border_h // 2, border_w // 2
+        resize_size = (self.load_size[0] + border_h, self.load_size[1] + border_w)
+        apply_hflip = self.horizontal_flip and self.rng.random() > 0.5
+
+        target_depth, target_valid = depth.copy(), valid.copy()
+        db_id = self.id2dbid.get(img_id)
+        if db_id is None:
+            depth, valid = np.zeros_like(depth), np.zeros_like(valid)
+        else:
+            depth, valid = sample_depth_at_image_features(
+                depth, valid, self.db_path, db_id, scale, pad_h
+            )
+        depth, valid = _add_missing_depth_np(
+            self.rng, depth, valid, self.missing_depth_percent
+        )
+
+        # resize: sparse-preserving for the sparse depth channel, nearest
+        # for rgb and the dense targets (:437-446)
+        d_r, valid = resize_sparse_depth(depth[None], valid[None], resize_size)
+        d_r, valid = d_r[0], valid[0]
+        rgb_r = cv2.resize(
+            rgb, (resize_size[1], resize_size[0]),
+            interpolation=cv2.INTER_NEAREST,
+        )
+        t_r = cv2.resize(
+            target_depth, (resize_size[1], resize_size[0]),
+            interpolation=cv2.INTER_NEAREST,
+        )
+        tv_r = cv2.resize(
+            target_valid.astype(np.uint8), (resize_size[1], resize_size[0]),
+            interpolation=cv2.INTER_NEAREST,
+        ).astype(bool)
+
+        if self.color_jitter is not None:
+            rgb_r = self._jitter(rgb_r)
+
+        if self.random_rot != 0:
+            m = cv2.getRotationMatrix2D(
+                ((resize_size[1] - 1) / 2.0, (resize_size[0] - 1) / 2.0), rot, 1.0
+            )
+            size_wh = (resize_size[1], resize_size[0])
+            nearest = dict(flags=cv2.INTER_NEAREST, borderValue=0)
+            rgb_r = cv2.warpAffine(rgb_r, m, size_wh, **nearest)
+            d_r = cv2.warpAffine(d_r, m, size_wh, **nearest)
+            valid = cv2.warpAffine(
+                valid.astype(np.uint8), m, size_wh, **nearest
+            ).astype(bool)
+            t_r = cv2.warpAffine(t_r, m, size_wh, **nearest)
+            tv_r = cv2.warpAffine(
+                tv_r.astype(np.uint8), m, size_wh, **nearest
+            ).astype(bool)
+
+        sl = (slice(top, top + self.load_size[0]),
+              slice(left, left + self.load_size[1]))
+        rgb_r, d_r, valid = rgb_r[sl], d_r[sl], valid[sl]
+        t_r, tv_r = t_r[sl], tv_r[sl]
+
+        if apply_hflip:
+            rgb_r, d_r, valid = rgb_r[:, ::-1], d_r[:, ::-1], valid[:, ::-1]
+            t_r, tv_r = t_r[:, ::-1], tv_r[:, ::-1]
+
+        norm, _ = get_pretrained_normalize()
+        mean, std = norm["rgb"]
+        rgb_n = (rgb_r - mean) / std
+        d_r = d_r / (1.0 + tan_abs_rot)  # rotation rescales depth (:474)
+
+        if self.depth_noise:
+            m_depth = convert_depth_completion_scaling_to_m_taskonomy(d_r)
+            sigma = 0.0019 * m_depth**2 + 0.0006 * m_depth
+            m_depth = m_depth + self.rng.standard_normal(m_depth.shape) * sigma * valid
+            d_r = convert_m_to_depth_completion_scaling_taskonomy(m_depth)
+
+        rgbd = np.concatenate([rgb_n, d_r[..., None]], axis=-1)
+        return {
+            "rgbd": np.ascontiguousarray(rgbd, dtype=np.float32),
+            "valid_depth": np.ascontiguousarray(valid),
+            "target_depth": np.ascontiguousarray(t_r[..., None], dtype=np.float32),
+            "target_valid_depth": np.ascontiguousarray(tv_r),
+            "found": True,
+        }
+
+    def _jitter(self, rgb):
+        """ColorJitter(b, c, s, h) equivalent in numpy (the reference uses
+        torchvision ColorJitter with a single factor for all four, :451-454)."""
+        j = self.color_jitter
+        rng = self.rng
+        b = 1.0 + rng.uniform(-j, j)
+        c = 1.0 + rng.uniform(-j, j)
+        s = 1.0 + rng.uniform(-j, j)
+        x = np.clip(rgb * b, 0, 1)
+        gray = x @ np.array([0.299, 0.587, 0.114], np.float32)
+        x = np.clip((x - gray.mean()) * c + gray.mean(), 0, 1)
+        x = np.clip((x - gray[..., None]) * s + gray[..., None], 0, 1)
+        return x.astype(np.float32)
+
+
 class ScanNetDataset:
     """Depth-completion example loader (reference ScanNetDataset :127-274):
     rgb + sensor depth (+ optional SfM-keypoint sparsification), ImageNet-

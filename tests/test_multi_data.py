@@ -2,7 +2,7 @@
 
 import numpy as np
 
-from scade_tpu.prior.multi_data import InterleavedShardedSampler, MultiDataset
+from scade_tpu.prior.multi_data import InterleavedShardedSampler, MultipleDataset as MultiDataset
 from scade_tpu.utils.logging import SmoothedValue, TrainingStats
 
 
