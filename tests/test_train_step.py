@@ -132,6 +132,55 @@ def test_multichip_sharded_step(rng):
     assert int(new_state.step) == 1
 
 
+def test_device_count_equivalence(rng):
+    """Same seed ⇒ same loss trajectory on (1 device) vs (8-dev mesh,
+    data-parallel) vs (8-dev mesh, 2-way tensor parallel): the sharded
+    program is the SAME math, not an approximation. Mirrors the reference's
+    DataParallel invariance (global-batch loss normalization,
+    run_scade_scannet.py:438-466 / SURVEY §5.8)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh")
+    rc = make_render_config(multires=4, n_samples=8, n_importance=16)
+    tc = TrainConfig(n_rand=32)
+    scene = tiny_scene(rng)
+
+    def run(mesh, shard_model):
+        state = create_train_state(jax.random.PRNGKey(0), rc, tc, n_images=N_REL)
+        losses = []
+        if mesh is None:
+            step = make_train_step(rc, tc, H, W, N_TRAIN, donate=False)
+            sc = scene
+        else:
+            state = jax.device_put(
+                state, state_shardings(state, mesh, shard_model=shard_model)
+            )
+            sc = jax.device_put(scene, replicate(mesh))
+        ctx = mesh if mesh is not None else _nullcontext()
+        with ctx:
+            if mesh is not None:
+                step = make_train_step(
+                    rc, tc, H, W, N_TRAIN, data_spec=data_sharding(mesh),
+                    donate=False,
+                )
+            for i in range(3):
+                state, metrics = step(state, sc, jax.random.PRNGKey(100 + i))
+                losses.append(float(metrics["loss"]))
+        return losses
+
+    class _nullcontext:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    single = run(None, False)
+    dp = run(make_mesh(jax.devices()[:8], n_model=1), False)
+    tp = run(make_mesh(jax.devices()[:8], n_model=2), True)
+    np.testing.assert_allclose(single, dp, rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(single, tp, rtol=2e-5, atol=2e-6)
+
+
 def test_graft_entry_contracts():
     import importlib.util, os
 
