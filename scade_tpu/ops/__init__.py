@@ -21,6 +21,8 @@ from scade_tpu.ops.volume import (
 )
 from scade_tpu.ops.sampling import (
     draw_u,
+    draw_u_sorted,
+    merge_sorted,
     sample_pdf,
     sample_pdf_joint,
     sample_pdf_joint_return_u,
@@ -53,6 +55,8 @@ __all__ = [
     "raw2outputs",
     "stratified_z_vals",
     "draw_u",
+    "draw_u_sorted",
+    "merge_sorted",
     "sample_pdf",
     "sample_pdf_joint",
     "sample_pdf_joint_return_u",

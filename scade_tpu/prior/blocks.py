@@ -188,11 +188,20 @@ class FFM(nn.Module):
 
 
 class AdaInV2(nn.Module):
-    """Image-conditioned AdaIn (network_auxi.py:266-318): a small conv net
-    over [image ⊕ z-broadcast] pooled to 7x7 feeds the style MLP. Used by
-    Decoder_cIMLE versions v3-v6."""
+    """Image-conditioned AdaIn: a small conv net over [image ⊕ z-broadcast]
+    pooled to 7x7 feeds the style MLP. Two reference definitions share the
+    architecture but differ in the output transform:
+
+    - encoder side (Resnext_torch.py:538-590, used by ResNet_cIMLE_v3):
+      x·var + mean  → var_scale = mean_scale = 1
+    - decoder side (network_auxi.py:266-318, used by Decoder_cIMLE v3-v6):
+      x·(var·2) + mean·2 (the `shift_scale`/`mean_scale`=2.0 defaults at
+      the :290 forward) → var_scale = mean_scale = 2
+    """
 
     out_channels: int
+    var_scale: float = 1.0
+    mean_scale: float = 1.0
 
     @nn.compact
     def __call__(self, x, z, input_image, mean_shift, var_shift):
@@ -222,7 +231,10 @@ class AdaInV2(nn.Module):
         )
         mean = style[:, 1] - mean_shift
         var = style[:, 0] + 1.0 - var_shift
-        return x * var[:, None, None, :] + mean[:, None, None, :]
+        return (
+            x * (var[:, None, None, :] * self.var_scale)
+            + mean[:, None, None, :] * self.mean_scale
+        )
 
 
 class AuxiBlock(nn.Module):

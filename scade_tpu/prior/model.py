@@ -218,7 +218,10 @@ class DecoderCIMLE(nn.Module):
                 return AdaIn(dims[i], name=f"style_mod{i}")(
                     x, z, shifts[f"mean{i}"], shifts[f"var{i}"]
                 )
-            return AdaInV2(dims[i], name=f"style_mod{i}")(
+            # the decoder-side AdaIn_v2 applies 2x var/mean scales
+            # (network_auxi.py:290,315) — unlike the encoder-side one
+            return AdaInV2(dims[i], var_scale=2.0, mean_scale=2.0,
+                           name=f"style_mod{i}")(
                 x, z, input_image, shifts[f"mean{i}"], shifts[f"var{i}"]
             )
 

@@ -104,13 +104,18 @@ def _adain_v2_pairs(torch_base: str, our_base: str):
 
 
 def name_map(cfg: PriorConfig, version: str = "v2", adain: bool = True,
-             auxi: bool = False, decoder: bool = True, encoder: bool = True):
+             auxi: bool = False, decoder: bool = True, encoder: bool = True,
+             dec_version: str = None):
     """All (torch_name, flax_path, kind) triples for a full prior model.
 
     version: "v2" (AdaIn) or "v3" (AdaIn_v2) encoder taps.
     adain=False: the plain backbone (DepthModel baseline — no style_mod*).
     auxi=True: include the AuxiNetV2/V1 branch (auxi_modules.*).
-    decoder=False / encoder=False: restrict to a sub-model."""
+    decoder=False / encoder=False: restrict to a sub-model.
+    dec_version: decoder-side cIMLE (Decoder_cIMLE, network_auxi.py:320-436)
+    — "v2" (z-MLP AdaIn) or "v3".."v6" (image-conditioned AdaIn_v2) taps at
+    progressively fewer of the 4 decoder positions; implies adain=False on
+    the encoder side (DepthModel_cIMLE_v2 uses the plain backbone)."""
     pairs = []
     if encoder:
         pairs += [
@@ -134,6 +139,13 @@ def name_map(cfg: PriorConfig, version: str = "v2", adain: bool = True,
                 has_ds = b == 0 and (s != 1 or inplanes != out_ch)
                 pairs += _bottleneck_names(li + 1, b, has_ds, cfg.block)
                 inplanes = out_ch
+    if dec_version is not None:
+        n_taps = {"v2": 4, "v3": 4, "v4": 3, "v5": 2, "v6": 1}[dec_version]
+        fn = _adain_pairs if dec_version == "v2" else _adain_v2_pairs
+        for i in range(n_taps):
+            pairs += fn(
+                f"decoder_modules.style_mod{i}", f"decoder.style_mod{i}"
+            )
     if decoder:
         pairs += _ftb_pairs("decoder_modules.conv", "decoder.conv")
         pairs += [("decoder_modules.conv1", "decoder.conv1", "conv")]

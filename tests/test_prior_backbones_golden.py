@@ -222,6 +222,75 @@ def test_resnet18_basicblock_features_parity(ref_env):
         assert _rel_err(of, _to_nhwc(rf)) < 2e-4
 
 
+@pytest.mark.parametrize("dec_version,size", [("v2", 64), ("v6", 448)])
+def test_decoder_cimle_forward_parity(ref_env, dec_version, size):
+    """Decoder-side cIMLE (DepthModel_cIMLE_v2 wiring,
+    multi_depth_model_auxiv2.py:506-548): plain backbone + Decoder_cIMLE
+    with z (v2) or image-conditioned (v6) AdaIn taps. v6 needs 448² input
+    (AdaIn_v2's hard-coded 8*7*7 flatten)."""
+    torch = ref_env
+    import dataclasses
+
+    from lib.models import Resnext_torch, network_auxi
+
+    from scade_tpu.prior.model import (
+        DepthModelCIMLEDec,
+        backbone_config,
+        zero_shifts_dec,
+    )
+    from scade_tpu.prior.translate import check_translation, params_from_torch_state_dict
+
+    torch.manual_seed(4)
+
+    class RefDec(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.encoder_modules = Resnext_torch.ResNet(
+                Resnext_torch.Bottleneck, [1, 1, 1, 1],
+                groups=32, width_per_group=8,
+            )
+            self.decoder_modules = network_auxi.Decoder_cIMLE(
+                d_latent=8, version=dec_version
+            )
+
+        def forward(self, x, z):
+            feats = self.encoder_modules(x)
+            if dec_version == "v2":
+                return self.decoder_modules(feats, z, auxi=False)
+            return self.decoder_modules(feats, z, x, auxi=False)
+
+    ref = RefDec()
+    ref.eval()
+
+    cfg = dataclasses.replace(backbone_config("resnext101_32x8d", d_latent=8),
+                              layers=(1, 1, 1, 1))
+    model = DepthModelCIMLEDec(cfg, version=dec_version)
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((1, size, size, 3)).astype(np.float32)
+    z = rng.standard_normal((1, 8)).astype(np.float32)
+
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(z),
+        zero_shifts_dec(cfg), train=False,
+    )
+    sd = {k: v for k, v in ref.state_dict().items()}
+    params, batch_stats = params_from_torch_state_dict(
+        sd, cfg, adain=False, dec_version=dec_version
+    )
+    problems = check_translation(variables, params, batch_stats)
+    assert problems == [], problems[:8]
+
+    with torch.no_grad():
+        ref_out = ref(
+            torch.from_numpy(np.transpose(x, (0, 3, 1, 2))), torch.from_numpy(z)
+        )
+    ours = model.apply(
+        {"params": params, "batch_stats": batch_stats},
+        jnp.asarray(x), jnp.asarray(z), zero_shifts_dec(cfg), train=False,
+    )
+    assert _rel_err(ours, _to_nhwc(ref_out)) < 2e-4
+
+
 def test_auxinet_v1_forward_parity(ref_env):
     """AuxiNet (v1, width 256, network_auxi.py:125-172) vs AuxiNetV1 on
     decoder-shaped intermediates."""

@@ -23,6 +23,9 @@ def main():
     ap.add_argument("--mean_var", required=True)
     ap.add_argument("--out_dir", default="demo_dump")
     ap.add_argument("--d_latent", type=int, default=32)
+    ap.add_argument("--version", default="v2", choices=["v2", "v3"],
+                    help="encoder cIMLE AdaIn flavor")
+    ap.add_argument("--backbone", default="resnext101_32x8d")
     ap.add_argument("--num_hypothesis", type=int, default=20)
     ap.add_argument("--mini_batch_size", type=int, default=5)
     ap.add_argument("--seed_num", type=int, default=0)
@@ -42,15 +45,17 @@ def main():
     from flax import serialization
 
     from scade_tpu.prior.data import normalize_rgb
-    from scade_tpu.prior.model import PriorConfig, init_prior, prior_apply
+    from scade_tpu.prior.model import (PriorConfig, backbone_config,
+                                       init_prior, prior_apply)
     from scade_tpu.prior.train import load_mean_var_adain
 
-    cfg = PriorConfig(d_latent=args.d_latent)
+    cfg = backbone_config(args.backbone, d_latent=args.d_latent)
     if args.small_model:
         cfg = cfg.with_small()
     model, variables = init_prior(
         jax.random.PRNGKey(0), cfg,
         image_size=(args.image_size, args.image_size),
+        version=args.version,
     )
     if args.ckpt.endswith((".pth", ".tar")):
         import torch
@@ -59,7 +64,7 @@ def main():
 
         raw = torch.load(args.ckpt, map_location="cpu", weights_only=False)
         sd = raw.get("model_state_dict", raw.get("state_dict", raw))
-        params, batch_stats = params_from_torch_state_dict(sd, cfg)
+        params, batch_stats = params_from_torch_state_dict(sd, cfg, version=args.version)
         variables = {"params": params, "batch_stats": batch_stats}
     else:
         with open(args.ckpt, "rb") as fp:

@@ -25,6 +25,9 @@ def main():
     ap.add_argument("--dump_dir", default="dump_cimle")
     ap.add_argument("--dataset_name", default="scannet")
     ap.add_argument("--d_latent", type=int, default=32)
+    ap.add_argument("--version", default="v2", choices=["v2", "v3"],
+                    help="encoder cIMLE AdaIn flavor")
+    ap.add_argument("--backbone", default="resnext101_32x8d")
     ap.add_argument("--num_hypothesis", type=int, default=20)
     ap.add_argument("--mini_batch_size", type=int, default=5)
     ap.add_argument("--sfm_mask_threshold", type=float, default=0.1)
@@ -48,15 +51,16 @@ def main():
     import jax
 
     from scade_tpu.prior.dump import dump_depth_hypotheses
-    from scade_tpu.prior.model import PriorConfig, init_prior
+    from scade_tpu.prior.model import PriorConfig, backbone_config, init_prior
     from scade_tpu.prior.train import load_mean_var_adain
 
-    cfg = PriorConfig(d_latent=args.d_latent)
+    cfg = backbone_config(args.backbone, d_latent=args.d_latent)
     if args.small_model:
         cfg = cfg.with_small()
     model, variables = init_prior(
         jax.random.PRNGKey(0), cfg,
         image_size=(args.image_size, args.image_size),
+        version=args.version,
     )
 
     if args.ckpt.endswith((".pth", ".tar")):
@@ -66,7 +70,7 @@ def main():
 
         raw = torch.load(args.ckpt, map_location="cpu", weights_only=False)
         sd = raw.get("model_state_dict", raw.get("state_dict", raw))
-        params, batch_stats = params_from_torch_state_dict(sd, cfg)
+        params, batch_stats = params_from_torch_state_dict(sd, cfg, version=args.version)
         variables = {"params": params, "batch_stats": batch_stats}
         print(f"translated torch checkpoint {args.ckpt}")
     else:

@@ -20,6 +20,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--version", default="v2", choices=["v2", "v3"],
+                    help="encoder cIMLE AdaIn flavor "
+                         "(RelDepthModel_cIMLE(version=...))")
+    ap.add_argument("--backbone", default="resnext101_32x8d",
+                    help="encoder zoo entry (network_auxi.py:16-50 factories)")
     ap.add_argument("--scene_dir", required=True,
                     help="scene root containing train/ + transforms_train.json")
     ap.add_argument("--log_dir", default="logs/prior")
@@ -53,7 +58,12 @@ def main():
     from flax import serialization
 
     from scade_tpu.prior.data import FinetuneDataset, collate
-    from scade_tpu.prior.model import PriorConfig, init_prior, zero_shifts
+    from scade_tpu.prior.model import (
+        PriorConfig,
+        backbone_config,
+        init_prior,
+        zero_shifts,
+    )
     from scade_tpu.prior.train import (
         PriorTrainConfig,
         compute_adain_stats,
@@ -64,7 +74,7 @@ def main():
     )
 
     os.makedirs(args.log_dir, exist_ok=True)
-    cfg = PriorConfig(d_latent=args.d_latent)
+    cfg = backbone_config(args.backbone, d_latent=args.d_latent)
     if args.small_model:
         cfg = cfg.with_small()
     tc = PriorTrainConfig(
@@ -83,7 +93,8 @@ def main():
 
     key, k_init = jax.random.split(key)
     model, variables = init_prior(
-        k_init, cfg, image_size=(args.image_size, args.image_size)
+        k_init, cfg, image_size=(args.image_size, args.image_size),
+        version=args.version,
     )
     if args.ckpt:
         with open(args.ckpt, "rb") as fp:
