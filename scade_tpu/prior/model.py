@@ -204,7 +204,7 @@ class DecoderCIMLE(nn.Module):
 
     @nn.compact
     def __call__(self, features, z, shifts, input_image=None,
-                 train: bool = False):
+                 train: bool = False, return_adain: bool = False):
         mid = list(self.cfg.lateral_out[::-1])
         inch = list(self.cfg.bottleneck_dims)
         v = self.version
@@ -234,6 +234,10 @@ class DecoderCIMLE(nn.Module):
         x_8 = style(2, x_8)
         x_4 = FFM(mid[1], mid[1], name="ffm1")(features[1], x_8, train)
         x_4 = style(3, x_4)
+        if return_adain:
+            # Decoder_cIMLE.get_adain_init_act (network_auxi.py:570-616):
+            # the 4 tap-position activations (styled where the version taps)
+            return (f3, x_32x, x_8, x_4)
         x_2 = FFM(mid[0], mid[0], name="ffm0")(features[0], x_4, train)
         return AO(mid[0], 1, 2, name="outconv")(x_2, train)
 
@@ -315,12 +319,14 @@ class DepthModelCIMLEDec(nn.Module):
     version: str = "v2"
 
     @nn.compact
-    def __call__(self, x, z, shifts, train: bool = False):
+    def __call__(self, x, z, shifts, train: bool = False,
+                 return_adain: bool = False):
         feats = ResNeXtCIMLE(self.cfg, use_adain=False, name="encoder")(
             x, z, shifts, train
         )
         return DecoderCIMLE(self.cfg, self.version, name="decoder")(
-            feats, z, shifts, input_image=x, train=train
+            feats, z, shifts, input_image=x, train=train,
+            return_adain=return_adain,
         )
 
 
@@ -349,12 +355,28 @@ class DepthModelBaseline(nn.Module):
         return logit, auxi
 
 
-def init_prior(key, cfg: PriorConfig, image_size=(448, 448), version: str = "v2"):
-    """Initialize variables {'params', 'batch_stats'} + zero AdaIn shifts."""
-    model = DepthModelCIMLE(cfg, version=version)
+def zero_shifts_for(model):
+    """Zero AdaIn shifts with the right dims for an enc- or dec-side model."""
+    if isinstance(model, DepthModelCIMLEDec):
+        return zero_shifts_dec(model.cfg)
+    return zero_shifts(model.cfg)
+
+
+def init_prior(key, cfg: PriorConfig, image_size=(448, 448), version: str = "v2",
+               cimle_version: str = "enc"):
+    """Initialize variables {'params', 'batch_stats'} + zero AdaIn shifts.
+
+    cimle_version: "enc" (RelDepthModel_cIMLE — z into the encoder, the
+    shipped path) or "dec" (RelDepthModel_cIMLE_decoder — z into the
+    decoder; ``version`` then selects the Decoder_cIMLE tap schedule v2-v6).
+    Reference dispatch: multi_depth_model_auxiv2.py:55-178."""
+    if cimle_version == "dec":
+        model = DepthModelCIMLEDec(cfg, version=version)
+    else:
+        model = DepthModelCIMLE(cfg, version=version)
     x = jnp.zeros((1, image_size[0], image_size[1], 3), jnp.float32)
     z = jnp.zeros((1, cfg.d_latent), jnp.float32)
-    variables = model.init(key, x, z, zero_shifts(cfg), train=False)
+    variables = model.init(key, x, z, zero_shifts_for(model), train=False)
     return model, variables
 
 

@@ -146,9 +146,9 @@ def compute_adain_stats(model, variables, batches: Iterable[dict], key,
                         out_path: Optional[str] = None):
     """AdaIn stat init (train_single.py:286-392). `batches` yields dicts with
     'rgb' (1, H, W, 3). Returns shifts dict {mean0..3, var0..3}."""
-    from scade_tpu.prior.model import zero_shifts
+    from scade_tpu.prior.model import zero_shifts_for
 
-    zero = zero_shifts(model.cfg)
+    zero = zero_shifts_for(model)
 
     @jax.jit
     def acts_fn(rgb, z):

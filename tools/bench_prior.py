@@ -28,7 +28,14 @@ def main():
                          "minibatches of 5, :482-488)")
     ap.add_argument("--image_size", type=int, default=448)
     ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--precision", default=None,
+                    choices=["highest", "high", "bfloat16", "tensorfloat32"],
+                    help="matmul/conv precision on the MXU; bfloat16 is the "
+                         "fast path (params/activations stay f32); default "
+                         "leaves the JAX ambient setting")
     args = ap.parse_args()
+    if args.precision:
+        jax.config.update("jax_default_matmul_precision", args.precision)
 
     from scade_tpu.prior.model import (
         DepthModelCIMLE,

@@ -20,13 +20,41 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--version", default="v2", choices=["v2", "v3"],
-                    help="encoder cIMLE AdaIn flavor "
-                         "(RelDepthModel_cIMLE(version=...))")
+    ap.add_argument("--version", default="v2",
+                    choices=["v2", "v3", "v4", "v5", "v6"],
+                    help="AdaIn flavor: encoder side takes v2|v3 "
+                         "(RelDepthModel_cIMLE(version=...)); decoder side "
+                         "(--cimle_version dec) takes v2..v6 (Decoder_cIMLE)")
+    ap.add_argument("--cimle_version", default="enc", choices=["enc", "dec"],
+                    help="where z enters: encoder (shipped path) or decoder "
+                         "(RelDepthModel_cIMLE_decoder)")
     ap.add_argument("--backbone", default="resnext101_32x8d",
                     help="encoder zoo entry (network_auxi.py:16-50 factories)")
-    ap.add_argument("--scene_dir", required=True,
-                    help="scene root containing train/ + transforms_train.json")
+    ap.add_argument("--loss_mode", default=None,
+                    help="criterion substring registry (train_single.py:38); "
+                         "default = the reference's full 5-loss mode")
+    ap.add_argument("--use_scheduler", action="store_true",
+                    help="WarmupMultiStepLR (lr_scheduler_custom.py:14-55)")
+    ap.add_argument("--lr_scheduler_multiepochs", type=int, nargs="+",
+                    default=None, help="milestones in STEPS for the scheduler")
+    ap.add_argument("--scale_decoder_lr", type=float, default=1.0,
+                    help="decoder LR multiplier (cfg.TRAIN.SCALE_DECODER_LR)")
+    ap.add_argument("--only_output_adain_init", action="store_true",
+                    help="compute + save mean_var_adain.npy, then exit "
+                         "(train_single.py --only_output_adain_init)")
+    # pretraining input: taskonomy-style annotations corpora instead of a
+    # single scene (reference --dataset multi --dataroot --dataset_list)
+    ap.add_argument("--dataset", default="scene", choices=["scene", "multi"])
+    ap.add_argument("--dataroot", default=None,
+                    help="(--dataset multi) corpora root")
+    ap.add_argument("--dataset_list", nargs="+", default=["taskonomy"],
+                    help="(--dataset multi) dataset names under dataroot")
+    ap.add_argument("--phase_anno", default="train",
+                    help="(--dataset multi) annotations file prefix")
+    ap.add_argument("--sample_ratio", type=float, default=1.0)
+    ap.add_argument("--scene_dir", default=None,
+                    help="scene root containing train/ + transforms_train.json "
+                         "(required for --dataset scene)")
     ap.add_argument("--log_dir", default="logs/prior")
     ap.add_argument("--dataset_name", default="scannet")
     ap.add_argument("--epochs", type=int, default=60)
@@ -77,34 +105,102 @@ def main():
     cfg = backbone_config(args.backbone, d_latent=args.d_latent)
     if args.small_model:
         cfg = cfg.with_small()
-    tc = PriorTrainConfig(
+    tc_kwargs = dict(
         base_lr=args.base_lr, mlp_lr=args.mlp_lr,
         num_samples=args.num_samples, mini_batch_size=args.mini_batch_size,
         refresh_z=args.refresh_z, max_epoch=args.epochs,
         batch_size=args.batchsize, d_latent=args.d_latent,
+        use_scheduler=args.use_scheduler,
+        scale_decoder_lr=args.scale_decoder_lr,
     )
+    if args.loss_mode:
+        tc_kwargs["loss_mode"] = args.loss_mode
+    if args.lr_scheduler_multiepochs:
+        tc_kwargs["lr_milestones"] = tuple(args.lr_scheduler_multiepochs)
+    tc = PriorTrainConfig(**tc_kwargs)
     key = jax.random.PRNGKey(args.seed_num)
 
-    ds = FinetuneDataset(
-        os.path.join(args.scene_dir, "train"), args.dataset_name,
-        crop_size=(args.image_size, args.image_size),
-    )
-    print(f"{len(ds)} training images")
+    if args.dataset == "multi":
+        # pretraining over annotations corpora: per-source readers, rank-
+        # sharded round-robin interleave (reference train_single.py
+        # MultipleDataLoaderDistributed path)
+        from scade_tpu.prior.multi_data import (
+            InterleavedShardedSampler,
+            MultiDataset,
+            MultipleDataset,
+        )
+
+        if not args.dataroot:
+            sys.exit("--dataset multi requires --dataroot")
+        sources = [
+            MultiDataset(args.dataroot, name, args.phase_anno,
+                         crop_size=(args.image_size, args.image_size))
+            for name in args.dataset_list
+        ]
+        ds = MultipleDataset(sources)
+        sampler = InterleavedShardedSampler(
+            ds, num_replicas=jax.process_count(), rank=jax.process_index(),
+            sample_ratio=args.sample_ratio,
+            rng=np.random.default_rng(args.seed_num),
+        )
+
+        def collate_fn(items):
+            out = {}
+            for k in ("rgb", "depth", "disp", "planes"):
+                out[k] = np.stack([it[k] for it in items])
+            out["planes"] = out["planes"].astype(np.int32)
+            out["focal_length"] = np.array(
+                [it["focal_length"] for it in items], np.float32
+            )
+            out["quality_flg"] = np.array(
+                [int(it["quality_flg"]) for it in items], np.int32
+            )
+            return out
+
+        # freeze one sampler order per z-recache cycle: the cached z's are
+        # positional, so SGD epochs must visit examples in the same order
+        # they were cached (the reference zips (dataset, z) — ZippedDataset)
+        order = {"idx": list(iter(sampler))}
+
+        def reshuffle():
+            order["idx"] = list(iter(sampler))
+
+        def batches(bs, limit=None):
+            idx = order["idx"]
+            if limit is not None:
+                idx = idx[:limit]
+            for s in range(0, len(idx), bs):
+                yield collate_fn([ds[i] for i in idx[s : s + bs]])
+
+        n_examples = len(sampler)
+    else:
+        if not args.scene_dir:
+            sys.exit("--dataset scene requires --scene_dir")
+        ds = FinetuneDataset(
+            os.path.join(args.scene_dir, "train"), args.dataset_name,
+            crop_size=(args.image_size, args.image_size),
+        )
+
+        def batches(bs, limit=None):
+            n = len(ds) if limit is None else min(limit, len(ds))
+            for s in range(0, n, bs):
+                yield collate([ds[i] for i in range(s, min(s + bs, n))])
+
+        def reshuffle():
+            pass
+
+        n_examples = len(ds)
+    print(f"{n_examples} training examples")
 
     key, k_init = jax.random.split(key)
     model, variables = init_prior(
         k_init, cfg, image_size=(args.image_size, args.image_size),
-        version=args.version,
+        version=args.version, cimle_version=args.cimle_version,
     )
     if args.ckpt:
         with open(args.ckpt, "rb") as fp:
             variables = serialization.from_bytes(variables, fp.read())
         print(f"restored {args.ckpt}")
-
-    def batches(bs, limit=None):
-        n = len(ds) if limit is None else min(limit, len(ds))
-        for s in range(0, n, bs):
-            yield collate([ds[i] for i in range(s, min(s + bs, n))])
 
     opt = make_prior_optimizer(variables["params"], tc)
     opt_state = opt.init(variables["params"])
@@ -127,9 +223,13 @@ def main():
             )
             shifts = load_mean_var_adain(mv_path)
             print("AdaIn weights init done.")
+            if args.only_output_adain_init:
+                print(f"--only_output_adain_init: wrote {mv_path}, exiting")
+                return
 
         if epoch % tc.refresh_z == 0:
             print("Recaching z-codes...")
+            reshuffle()  # new visit order; z's are cached in this order
             key, k = jax.random.split(key)
             selected_z = recache_z(
                 model, variables, shifts, tc, batches(args.batchsize), k
