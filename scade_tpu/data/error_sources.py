@@ -1,7 +1,7 @@
 """Synthetic depth-sensor degradation (reference: data/error_sources.py:3-21).
 
 Used by the depth-completion training flow to corrupt clean depth. Pure
-functions over (depth, keys) — RNG is explicit jax.random.
+functions over (key, depth, valid) — RNG is explicit jax.random.
 """
 
 from __future__ import annotations
@@ -10,14 +10,29 @@ import jax
 import jax.numpy as jnp
 
 
-def add_missing_depth(key, depth, p_missing: float = 0.1):
-    """Zero out a random fraction of depth pixels (reference :3-15)."""
-    keep = jax.random.uniform(key, depth.shape) >= p_missing
-    return depth * keep.astype(depth.dtype)
+def add_missing_depth(key, depth, valid_depth, p: float = 0.1,
+                      invalid_depth_value: float = 0.0):
+    """Invalidate random pixels until the TOTAL invalid fraction reaches p
+    (reference :3-15): if the map is already sparser than p this is a
+    no-op; otherwise each currently-valid pixel is dropped with probability
+    (p - p_before) * n_pixels / n_valid. Returns (depth, valid)."""
+    valid = valid_depth.astype(bool)
+    n_pixels = valid.size
+    n_valid = jnp.sum(valid)
+    p_before = (n_pixels - n_valid).astype(jnp.float32) / n_pixels
+    p_gap = jnp.maximum(p - p_before, 0.0)
+    p_inv = p_gap * n_pixels / jnp.maximum(n_valid, 1).astype(jnp.float32)
+    drop = jax.random.uniform(key, depth.shape) < p_inv
+    new_valid = valid & ~drop
+    new_depth = jnp.where(new_valid, depth, invalid_depth_value).astype(depth.dtype)
+    return new_depth, new_valid
 
 
-def add_quadratic_depth_noise(key, depth, a: float = 0.0019, b: float = 0.0006):
-    """Kinect-style noise: sigma grows quadratically with depth
-    (reference :17-21): d += randn * (a*d^2 + b*d)."""
-    sigma = a * depth**2 + b * depth
-    return depth + jax.random.normal(key, depth.shape) * sigma
+def add_quadratic_depth_noise(key, depth, valid_depth, a: float = 1.68e-3,
+                              b: float = 6.58e-3, c: float = 4.78e-2):
+    """Kinect-style noise at VALID pixels only (reference :17-21):
+    d += randn * (a*d^2 + b*d + c), clamped to >= 0."""
+    valid = valid_depth.astype(bool)
+    std = a * depth**2 + b * depth + c
+    noisy = jnp.maximum(depth + jax.random.normal(key, depth.shape) * std, 0.0)
+    return jnp.where(valid, noisy, depth).astype(depth.dtype)

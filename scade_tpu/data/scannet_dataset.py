@@ -124,12 +124,21 @@ def sample_depth_at_image_features(
     return depth, valid
 
 
-def _add_missing_depth_np(rng, depth, valid, p_missing):
+def _add_missing_depth_np(rng, depth, valid, p):
     """Host-side add_missing_depth (reference data/error_sources.py:3-15):
-    keep each valid sample with probability 1−p, zero the rest, update the
-    mask. (The jax-key variant lives in data/error_sources.py.)"""
-    keep = rng.random(depth.shape) >= p_missing
-    valid = valid & keep
+    invalidate random VALID pixels until the TOTAL invalid fraction reaches
+    p — a no-op when the map is already sparser than p (the common case
+    after SfM-keypoint sparsification). (The jax-key variant lives in
+    data/error_sources.py.)"""
+    n_pixels = valid.size
+    n_valid = int(valid.sum())
+    p_before = (n_pixels - n_valid) / n_pixels
+    p_gap = p - p_before
+    if p_gap <= 0.0 or n_valid == 0:
+        return depth, valid
+    p_inv = p_gap * n_pixels / n_valid
+    drop = rng.random(depth.shape) < p_inv
+    valid = valid & ~drop
     out = np.where(valid, depth, 0.0).astype(depth.dtype)
     return out, valid
 
@@ -297,9 +306,15 @@ class TaskonomyDataset:
         d_r = d_r / (1.0 + tan_abs_rot)  # rotation rescales depth (:474)
 
         if self.depth_noise:
+            # reference add_quadratic_depth_noise (error_sources.py:17-21):
+            # std = 1.68e-3*d^2 + 6.58e-3*d + 4.78e-2 in METERS, valid
+            # pixels only, clamped to >= 0
             m_depth = convert_depth_completion_scaling_to_m_taskonomy(d_r)
-            sigma = 0.0019 * m_depth**2 + 0.0006 * m_depth
-            m_depth = m_depth + self.rng.standard_normal(m_depth.shape) * sigma * valid
+            sigma = 1.68e-3 * m_depth**2 + 6.58e-3 * m_depth + 4.78e-2
+            noisy = np.maximum(
+                m_depth + self.rng.standard_normal(m_depth.shape) * sigma, 0.0
+            )
+            m_depth = np.where(valid, noisy, m_depth)
             d_r = convert_m_to_depth_completion_scaling_taskonomy(m_depth)
 
         rgbd = np.concatenate([rgb_n, d_r[..., None]], axis=-1)
@@ -312,18 +327,39 @@ class TaskonomyDataset:
         }
 
     def _jitter(self, rgb):
-        """ColorJitter(b, c, s, h) equivalent in numpy (the reference uses
-        torchvision ColorJitter with a single factor for all four, :451-454)."""
+        """torchvision ColorJitter(b, c, s, h) equivalent in numpy/cv2
+        (the reference uses one factor for all four, :451-454): factors
+        drawn uniform(max(0, 1-j), 1+j) (hue: uniform(-j, j), clamped to
+        ±0.5 turns), ops applied in a random permutation."""
         j = self.color_jitter
         rng = self.rng
-        b = 1.0 + rng.uniform(-j, j)
-        c = 1.0 + rng.uniform(-j, j)
-        s = 1.0 + rng.uniform(-j, j)
-        x = np.clip(rgb * b, 0, 1)
-        gray = x @ np.array([0.299, 0.587, 0.114], np.float32)
-        x = np.clip((x - gray.mean()) * c + gray.mean(), 0, 1)
-        x = np.clip((x - gray[..., None]) * s + gray[..., None], 0, 1)
-        return x.astype(np.float32)
+        b = rng.uniform(max(0.0, 1 - j), 1 + j)
+        c = rng.uniform(max(0.0, 1 - j), 1 + j)
+        s = rng.uniform(max(0.0, 1 - j), 1 + j)
+        hj = min(j, 0.5)
+        h = rng.uniform(-hj, hj)
+        gray_w = np.array([0.299, 0.587, 0.114], np.float32)
+
+        def bright(x):
+            return np.clip(x * b, 0, 1)
+
+        def contrast(x):
+            m = (x @ gray_w).mean()
+            return np.clip((x - m) * c + m, 0, 1)
+
+        def saturation(x):
+            g = (x @ gray_w)[..., None]
+            return np.clip((x - g) * s + g, 0, 1)
+
+        def hue(x):
+            hsv = cv2.cvtColor(x.astype(np.float32), cv2.COLOR_RGB2HSV)
+            hsv[..., 0] = (hsv[..., 0] + h * 360.0) % 360.0
+            return np.clip(cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB), 0, 1)
+
+        ops = [bright, contrast, saturation, hue]
+        for i in rng.permutation(4):
+            rgb = ops[int(i)](rgb)
+        return rgb.astype(np.float32)
 
 
 class ScanNetDataset:

@@ -103,18 +103,6 @@ def merge_sorted(a, b, va=None, vb=None):
     return merged, vals
 
 
-def _searchsorted_right(cdf, u):
-    """Index i per draw s.t. cdf[i-1] <= u < cdf[i], vectorized over rays.
-
-    cdf: (..., M) nondecreasing; u: (..., S) → (..., S) int32.
-    Equivalent to torch.searchsorted(cdf, u, right=True): the insertion index
-    is the count of cdf entries <= u.
-    """
-    return jnp.sum(
-        (cdf[..., None, :] <= u[..., :, None]).astype(jnp.int32), axis=-1
-    )
-
-
 def sample_pdf(bins, weights, u):
     """Inverse-CDF sampling of ``u`` from the histogram (bins, weights).
 

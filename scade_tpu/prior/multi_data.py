@@ -57,8 +57,9 @@ FOCAL_LENGTH_DICT = {
     "3d-ken-burns": 512.0,
 }
 
-_RGB_MEANS = np.array([0.485, 0.456, 0.406], np.float32)
-_RGB_VARS = np.array([0.229, 0.224, 0.225], np.float32)
+# ImageNet normalization constants — one definition for all prior inputs
+from scade_tpu.prior.data import RGB_MEANS as _RGB_MEANS
+from scade_tpu.prior.data import RGB_VARS as _RGB_VARS
 
 # sky/road semantic label ids (multi_dataset.py:476-477)
 SKY_LABEL = 17

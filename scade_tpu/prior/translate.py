@@ -116,6 +116,8 @@ def name_map(cfg: PriorConfig, version: str = "v2", adain: bool = True,
     — "v2" (z-MLP AdaIn) or "v3".."v6" (image-conditioned AdaIn_v2) taps at
     progressively fewer of the 4 decoder positions; implies adain=False on
     the encoder side (DepthModel_cIMLE_v2 uses the plain backbone)."""
+    if dec_version is not None:
+        adain = False  # decoder-cIMLE models have a plain encoder
     pairs = []
     if encoder:
         pairs += [

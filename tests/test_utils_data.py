@@ -17,12 +17,30 @@ def test_error_sources(rng):
     )
 
     depth = jnp.asarray(rng.uniform(1, 5, (64, 64)), jnp.float32)
-    out = add_missing_depth(jax.random.PRNGKey(0), depth, p_missing=0.3)
+    valid = jnp.ones((64, 64), bool)
+    # top-up semantics (reference error_sources.py:3-15): from fully valid,
+    # the invalid fraction lands at ~p
+    out, new_valid = add_missing_depth(jax.random.PRNGKey(0), depth, valid, p=0.3)
     frac_zero = float(jnp.mean((out == 0).astype(jnp.float32)))
     assert 0.2 < frac_zero < 0.4
-    noisy = add_quadratic_depth_noise(jax.random.PRNGKey(1), depth)
+    # already sparser than p → no-op
+    sparse_valid = jnp.zeros((64, 64), bool).at[::8, ::8].set(True)
+    sparse_depth = jnp.where(sparse_valid, depth, 0.0)
+    out2, v2 = add_missing_depth(
+        jax.random.PRNGKey(0), sparse_depth, sparse_valid, p=0.3
+    )
+    assert bool(jnp.all(v2 == sparse_valid))
+    assert bool(jnp.all(out2 == sparse_depth))
+
+    noisy = add_quadratic_depth_noise(jax.random.PRNGKey(1), depth, valid)
     assert noisy.shape == depth.shape
-    assert float(jnp.abs(noisy - depth).mean()) > 0
+    assert float(jnp.min(noisy)) >= 0.0
+    # reference coefficients: std at d=1 is a+b+c ≈ 0.056
+    err = jnp.abs(noisy - depth)
+    assert 0.02 < float(err.mean()) < 0.5
+    # invalid pixels untouched
+    noisy2 = add_quadratic_depth_noise(jax.random.PRNGKey(1), sparse_depth, sparse_valid)
+    assert bool(jnp.all(jnp.where(sparse_valid, True, noisy2 == sparse_depth)))
 
 
 def test_create_random_subsets():

@@ -5,7 +5,7 @@ the SGD train step, at the production 448x448 shape.
 Timings materialize outputs to host (np.asarray) — block_until_ready does
 not force execution through the axon tunnel (BASELINE.md).
 
-Usage: python tools/bench_prior.py [--batch 5] [--dtype bfloat16]
+Usage: python tools/bench_prior.py [--batch 5] [--precision bfloat16]
 """
 
 import argparse
