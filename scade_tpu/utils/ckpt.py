@@ -55,17 +55,17 @@ def save_checkpoint(path: str, state, rc, embedded_cam=None) -> None:
     save_dict = {
         "global_step": int(state.step),
         "network_fn_state_dict": {
-            k: torch.from_numpy(v) for k, v in coarse_sd.items()
+            k: torch.from_numpy(np.array(v)) for k, v in coarse_sd.items()
         },
         "network_fine_state_dict": {
-            k: torch.from_numpy(v) for k, v in fine_sd.items()
+            k: torch.from_numpy(np.array(v)) for k, v in fine_sd.items()
         },
         # the reference stores torch Adam state here; we keep the key (empty)
         # for schema parity and store the real optimizer state under
         # 'scade_tpu' below.
         "optimizer_state_dict": {},
-        "depth_shifts": torch.from_numpy(np.asarray(state.shifts)),
-        "depth_scales": torch.from_numpy(np.asarray(state.scales)),
+        "depth_shifts": torch.from_numpy(np.array(state.shifts)),
+        "depth_scales": torch.from_numpy(np.array(state.scales)),
         "scade_tpu": {
             "opt_state": _to_numpy_tree(state.opt_state),
             "ss_opt_state": _to_numpy_tree(state.ss_opt_state),
@@ -73,7 +73,7 @@ def save_checkpoint(path: str, state, rc, embedded_cam=None) -> None:
         },
     }
     if embedded_cam is not None:
-        save_dict["embedded_cam"] = torch.from_numpy(np.asarray(embedded_cam))
+        save_dict["embedded_cam"] = torch.from_numpy(np.array(embedded_cam))
     torch.save(save_dict, path)
 
 
