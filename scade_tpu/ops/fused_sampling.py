@@ -1,0 +1,158 @@
+"""Pallas inverse-CDF lookup kernel (opt-in fast path for sample_pdf).
+
+The XLA formulation in ops/sampling.py computes four masked min/max
+reductions over an (S, M) compare tile per ray; this kernel replaces the
+lookup with ONE statically-unrolled sweep over the M bins that maintains
+all four running values in registers — each bin costs ~8 vector ops on a
+(block_rays, S) tile, everything VMEM-resident. Output is the final
+interpolated sample positions, numerically identical to the XLA path
+(same compare, same select order, same interpolation arithmetic).
+
+Forward-only: training needs gradients through the cdf/bins (SCADE's
+space-carving loss backprops through P_depth draws), so
+``fused_sample_pdf`` wraps the kernel in a custom_vjp whose backward
+rematerializes through the jnp implementation — the same pattern as
+ops/fused_mlp.py. Gated behind RenderConfig.fused_sampling.
+
+STATUS: experimental, OFF by default. The kernel compiles and matches the
+XLA path to 1 ulp standalone on the chip, but inside the renderer's
+``lax.map`` tiling XLA's buffer assignment pins the custom call's full
+(chunk, M) operands + output into scoped VMEM (54 MB > the 16 MB limit)
+at the P_depth shape (M=191) and fails to compile — a known
+kernel-vmem-stack-oom compiler limitation, not a kernel bug (operand/
+output optimization_barriers fix the producer-fusion variant of the blowup
+but not buffer assignment). Since the XLA formulation already runs within
+noise of the no-sampling compute floor (BASELINE.md), chasing this is not
+worth a custom DMA pipeline; revisit if a future XLA lifts the scoped-vmem
+assignment.
+
+Semantics reference: model/run_nerf_helpers.py:337-383 (sample_pdf);
+lowering rationale: BASELINE.md round-2 analysis.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from scade_tpu.ops import sampling as _ref
+
+
+def _lookup_kernel(cdf_ref, bins_ref, u_ref, out_ref, *, M: int):
+    """Per-tile inverse-CDF: cdf/bins (R, M) ascending, u (R, S) → out (R, S).
+
+    Sweep m = 0..M-1 keeping running below/above values. cdf[0] = 0 <= u
+    always, so 'below' is always written at m=0; 'above' is the FIRST bin
+    with cdf[m] > u (ascending cdf ⇒ once false, the min-update at each
+    later false m never decreases past it), initialized to the last bin —
+    exactly the reference's index clip min(inds, M-1)."""
+    u = u_ref[:, :]  # (R, S)
+
+    c_last = cdf_ref[:, M - 1][:, None]
+    b_last = bins_ref[:, M - 1][:, None]
+    cdf_below = jnp.zeros_like(u)
+    bins_below = jnp.zeros_like(u)
+    cdf_above = jnp.broadcast_to(c_last, u.shape)
+    bins_above = jnp.broadcast_to(b_last, u.shape)
+    # 'above' must pick the FIRST false bin; since cdf ascends, taking the
+    # first false and never overwriting is a running "set once" update
+    above_set = jnp.zeros(u.shape, jnp.bool_)
+
+    for m in range(M):
+        c_m = cdf_ref[:, m][:, None]  # (R, 1)
+        b_m = bins_ref[:, m][:, None]
+        le = c_m <= u  # (R, S)
+        # last true bin wins (ascending sweep ⇒ plain overwrite)
+        cdf_below = jnp.where(le, jnp.broadcast_to(c_m, u.shape), cdf_below)
+        bins_below = jnp.where(le, jnp.broadcast_to(b_m, u.shape), bins_below)
+        take_above = (~le) & (~above_set)
+        cdf_above = jnp.where(take_above, jnp.broadcast_to(c_m, u.shape), cdf_above)
+        bins_above = jnp.where(take_above, jnp.broadcast_to(b_m, u.shape), bins_above)
+        above_set = above_set | (~le)
+
+    denom = cdf_above - cdf_below
+    denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)
+    t = (u - cdf_below) / denom
+    out_ref[:, :] = bins_below + t * (bins_above - bins_below)
+
+
+def _use_interpret() -> bool:
+    # Pallas TPU kernels only compile on TPU; CPU tests run the interpreter
+    return jax.default_backend() != "tpu" and not _on_axon()
+
+
+def _on_axon() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _lookup(cdf, bins, u, block_rays: int = 256):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    R, M = cdf.shape
+    S = u.shape[-1]
+    # stop XLA fusing (and loop-hoisting) the operand producers into the
+    # custom call — without this the broadcast/pad producers get stacked
+    # across lax.map iterations into one giant scoped-vmem allocation
+    cdf, bins, u = jax.lax.optimization_barrier((cdf, bins, u))
+    pad = (-R) % block_rays
+    if pad:
+        cdf = jnp.pad(cdf, ((0, pad), (0, 0)), mode="edge")
+        bins = jnp.pad(bins, ((0, pad), (0, 0)), mode="edge")
+        u = jnp.pad(u, ((0, pad), (0, 0)), mode="edge")
+    Rp = R + pad
+
+    out = pl.pallas_call(
+        functools.partial(_lookup_kernel, M=M),
+        grid=(Rp // block_rays,),
+        in_specs=[
+            pl.BlockSpec((block_rays, M), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rays, M), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rays, S), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_rays, S), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Rp, S), jnp.float32),
+        interpret=_use_interpret(),
+    )(cdf.astype(jnp.float32), bins.astype(jnp.float32), u.astype(jnp.float32))
+    # barrier the output as well: without it, under lax.map XLA fuses the
+    # custom call into the scan-output accumulator and tries to stack every
+    # iteration's result in scoped VMEM (54 MB > 16 MB)
+    out = jax.lax.optimization_barrier(out)
+    return out[:R]
+
+
+def _cdf_of(weights):
+    weights = weights + 1e-5
+    pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    return jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)
+
+
+@jax.custom_vjp
+def fused_sample_pdf(bins, weights, u):
+    """sample_pdf with the Pallas lookup kernel; backward goes through the
+    jnp implementation (exact, since both compute the same function)."""
+    cdf = _cdf_of(weights)
+    return _lookup(cdf, bins, u)
+
+
+def _fwd(bins, weights, u):
+    return fused_sample_pdf(bins, weights, u), (bins, weights, u)
+
+
+def _bwd(res, g):
+    bins, weights, u = res
+    _, vjp = jax.vjp(lambda b, w, uu: _ref.sample_pdf(b, w, uu), bins, weights, u)
+    return vjp(g)
+
+
+fused_sample_pdf.defvjp(_fwd, _bwd)

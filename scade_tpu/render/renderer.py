@@ -55,6 +55,9 @@ class RenderConfig:
     # the architecture is supported; ignored otherwise
     use_fused: bool = False
     fused_tile: int = 2048
+    # inverse-CDF lookups via the Pallas sweep kernel (ops/fused_sampling.py);
+    # 1-ulp-identical to the XLA path, opt-in
+    fused_sampling: bool = False
 
     def test_mode(self) -> "RenderConfig":
         """perturb off, no density noise (reference render_kwargs_test :505-507)."""
@@ -80,6 +83,7 @@ def make_render_config(
     compute_dtype: Any = jnp.float32,
     use_fused: bool = False,
     fused_tile: int = 2048,
+    fused_sampling: bool = False,
 ) -> RenderConfig:
     """Build a RenderConfig from reference-style flags (create_nerf :422-509)."""
     from scade_tpu.ops.embedding import get_embedder
@@ -114,6 +118,7 @@ def make_render_config(
         input_ch_cam=input_ch_cam,
         use_fused=use_fused,
         fused_tile=fused_tile,
+        fused_sampling=fused_sampling,
     )
 
 
@@ -199,6 +204,11 @@ def render_rays(
     else:
         k_perturb = k_noise0 = k_imp = k_noise1 = k_out = None
 
+    if rc.fused_sampling:
+        from scade_tpu.ops.fused_sampling import fused_sample_pdf as _sample_pdf
+    else:
+        _sample_pdf = sample_pdf
+
     # --- coarse pass -------------------------------------------------------
     z_vals = stratified_z_vals(near, far, rc.n_samples, rc.lindisp)
     if rc.perturb and k_perturb is not None:
@@ -220,7 +230,7 @@ def render_rays(
         # every consumer is order-invariant) make z_vals_2 ascending, so the
         # union is a cheap merge instead of a full sort (see ops/sampling.py)
         u1 = draw_u_sorted(k_imp, n_rays, rc.n_samples, det=det, joint=rc.is_joint)
-        z_vals_2 = sample_pdf(z_mid, weights[..., 1:-1], u1)
+        z_vals_2 = _sample_pdf(z_mid, weights[..., 1:-1], u1)
 
         pts2 = rays_o[..., None, :] + rays_d[..., None, :] * z_vals_2[..., :, None]
         raw2 = _query_network(
@@ -237,7 +247,7 @@ def render_rays(
             u = draw_u(k_out, n_rays, rc.n_samples, det=det, joint=rc.is_joint)
         else:
             u = cached_u
-        z_vals_output = sample_pdf(z_mid2, weights[..., 1:-1], u)
+        z_vals_output = _sample_pdf(z_mid2, weights[..., 1:-1], u)
         pred_hyp = jnp.concatenate([z_vals_2, z_vals_output], axis=-1)
 
         return {
@@ -261,7 +271,7 @@ def render_rays(
     # order-invariant) keep z_samples ascending so the coarse∪fine union is
     # an O(S) merge, not a sort (418 ms/65k rays on TPU — BASELINE.md)
     u_imp = draw_u_sorted(k_imp, n_rays, rc.n_importance, det=det)
-    z_samples = sample_pdf(z_mid, weights[..., 1:-1], u_imp)
+    z_samples = _sample_pdf(z_mid, weights[..., 1:-1], u_imp)
     # fine positions don't backprop into coarse weights (reference :711)
     z_samples = jax.lax.stop_gradient(z_samples)
 
@@ -279,7 +289,7 @@ def render_rays(
         u = draw_u(k_out, n_rays, rc.n_importance, det=det, joint=rc.is_joint)
     else:
         u = cached_u
-    pred_hyp = sample_pdf(z_mid2, weights[..., 1:-1], u)  # differentiable
+    pred_hyp = _sample_pdf(z_mid2, weights[..., 1:-1], u)  # differentiable
 
     # NOTE: the reference reuses the variable `z_samples` for the P_depth
     # draws before computing z_std (run_scade_scannet.py:726-745), so z_std

@@ -1,0 +1,52 @@
+"""Pallas inverse-CDF kernel vs the XLA sample_pdf (interpret mode on CPU;
+the same kernel runs compiled on TPU — see ops/fused_sampling.py STATUS)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from scade_tpu.ops.fused_sampling import fused_sample_pdf
+from scade_tpu.ops.sampling import sample_pdf
+
+
+def _mk(rng, R, M, S):
+    bins = np.sort(rng.uniform(0.5, 6.0, (R, M)), -1).astype(np.float32)
+    w = rng.uniform(0, 1, (R, M - 1)).astype(np.float32)
+    u = rng.uniform(0, 1, (R, S)).astype(np.float32)
+    return bins, w, u
+
+
+def test_forward_matches_xla_path():
+    rng = np.random.default_rng(0)
+    for M in (63, 191):
+        bins, w, u = _mk(rng, 300, M, 128)
+        ref = np.asarray(sample_pdf(bins, w, u))
+        got = np.asarray(fused_sample_pdf(bins, w, u))
+        # 1-ulp FMA differences across lowerings; element selection identical
+        np.testing.assert_allclose(got, ref, atol=2e-6, rtol=1e-6)
+
+
+def test_edge_draws():
+    rng = np.random.default_rng(1)
+    bins, w, _ = _mk(rng, 64, 63, 4)
+    u = np.array([[0.0, 1e-8, 1.0 - 1e-7, 0.5]] * 64, np.float32)
+    ref = np.asarray(sample_pdf(bins, w, u))
+    got = np.asarray(fused_sample_pdf(bins, w, u))
+    np.testing.assert_allclose(got, ref, atol=2e-6, rtol=1e-6)
+
+
+def test_gradient_through_jnp_backward():
+    rng = np.random.default_rng(2)
+    bins, w, u = _mk(rng, 128, 63, 32)
+    g1 = jax.grad(lambda w: jnp.sum(fused_sample_pdf(bins, w, u)))(jnp.asarray(w))
+    g2 = jax.grad(lambda w: jnp.sum(sample_pdf(bins, w, u)))(jnp.asarray(w))
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
+
+
+def test_ragged_row_count_pads():
+    rng = np.random.default_rng(3)
+    bins, w, u = _mk(rng, 300, 63, 32)  # 300 % 256 != 0 → edge-pad path
+    ref = np.asarray(sample_pdf(bins, w, u))
+    got = np.asarray(fused_sample_pdf(bins, w, u))
+    np.testing.assert_allclose(got, ref, atol=2e-6, rtol=1e-6)
