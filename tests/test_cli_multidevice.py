@@ -101,3 +101,54 @@ def test_cli_test_opt_camera_latent(tmp_path):
         d for d in os.listdir(result_dir) if d.startswith("test_images")
     ]
     assert opt_metrics
+
+
+def test_cli_warm_start_from_pretrained(tmp_path):
+    """--load_pretrained/--pretrained_dir warm start (reference
+    run_scade_scannet.py:906-938): weights + depth scales/shifts come from
+    the donor run, the step counter restarts at 0."""
+    scene = tmp_path / "scene"
+    subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(__file__), "..", "tools",
+                      "make_synthetic_scene.py"),
+         str(scene), "--H", "32", "--W", "48", "--K", "2",
+         "--n_train", "2", "--n_val", "1", "--n_test", "1", "--n_video", "2"],
+        check=True,
+    )
+    from run_scade_scannet import main
+
+    common = [
+        "--data_dir", str(tmp_path), "--scene_id", "scene",
+        "--ckpt_dir", str(tmp_path / "ckpt"),
+        "--cimle_dir", "dump", "--num_hypothesis", "2",
+        "--N_samples", "8", "--N_importance", "16", "--multires", "4",
+        "--chunk", "2048", "--N_rand", "64", "--i_img", "1000000",
+        "--i_print", "4",
+    ]
+    main("scannet", [
+        "train", "--expname", "donor", "--num_iterations", "8",
+        "--i_weights", "8", "--scaleshift_lr", "1e-2",
+    ] + common)
+    main("scannet", [
+        "train", "--expname", "warm", "--num_iterations", "4",
+        "--i_weights", "4", "--load_pretrained", "true",
+        "--pretrained_dir", str(tmp_path / "ckpt" / "donor"),
+    ] + common)
+
+    import torch
+
+    donor = torch.load(tmp_path / "ckpt" / "donor" / "000008.tar",
+                       map_location="cpu", weights_only=False)
+    warm = torch.load(tmp_path / "ckpt" / "warm" / "000004.tar",
+                      map_location="cpu", weights_only=False)
+    # warm run restarted its counter (saved at ITS iteration 4)
+    assert int(warm["global_step"]) == 4
+    # donor's learned depth scales were inherited and continued moving —
+    # they must be closer to the donor's than to the 1.0 init
+    import numpy as np
+
+    d = np.asarray(donor["depth_scales"], np.float64).ravel()
+    w = np.asarray(warm["depth_scales"], np.float64).ravel()
+    assert np.abs(w - d).max() < np.abs(d - 1.0).max() + 1e-8
+    assert np.abs(d - 1.0).max() > 0  # the donor actually moved them
