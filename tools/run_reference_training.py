@@ -68,6 +68,10 @@ def main():
     ap.add_argument("--N_importance", type=int, default=128)
     ap.add_argument("--num_hypothesis", type=int, default=4)
     ap.add_argument("--cimle_dir", default="dump")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="train_nerf hardcodes seed 0 (run_scade_scannet.py"
+                         ":831-833); this remaps that seed(0) call so "
+                         "reference-side seed-variance runs are possible")
     flags = ap.parse_args()
 
     install_stubs()
@@ -76,6 +80,13 @@ def main():
     import torch
 
     torch.Tensor.cuda = lambda self, *a, **k: self
+
+    if flags.seed != 0:
+        _np_seed, _t_seed = np.random.seed, torch.manual_seed
+        np.random.seed = lambda s=None: _np_seed(
+            flags.seed if s == 0 else s
+        )
+        torch.manual_seed = lambda s: _t_seed(flags.seed if s == 0 else s)
 
     import run_scade_scannet as R
     from data import load_scene_scannet
