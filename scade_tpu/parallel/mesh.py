@@ -80,22 +80,51 @@ def shard_params(params, mesh: Mesh):
     )
 
 
+def _path_names(path) -> tuple:
+    """Normalize a jax tree path to a tuple of name strings."""
+    out = []
+    for k in path:
+        for attr in ("key", "name", "idx"):
+            if hasattr(k, attr):
+                out.append(str(getattr(k, attr)))
+                break
+        else:
+            out.append(str(k))
+    return tuple(out)
+
+
 def state_shardings(state, mesh: Mesh, shard_model: bool = False):
-    """NamedShardings for a full TrainState.
+    """NamedShardings for a full TrainState, matched BY TREE PATH.
 
-    With shard_model=True, every leaf whose shape matches a shardable NeRF
-    kernel/bias pattern (including the Adam mu/nu moments, which mirror the
-    params) gets the tensor-parallel spec; everything else replicates. With
-    shard_model=False (the recommended data-parallel regime for the 8x256
-    MLP) everything replicates and the ray batch alone is sharded.
+    With shard_model=True, the NeRF params get `nerf_param_pspecs`, and any
+    other state leaf whose tree-path SUFFIX and shape both match a param
+    (the Adam mu/nu moments mirror the params subtree exactly) inherits
+    that param's spec. Everything else — step counts, per-image
+    scales/shifts and their moments, and any future state leaf regardless
+    of its shape — replicates. With shard_model=False (the recommended
+    data-parallel regime for the 8x256 MLP) everything replicates and the
+    ray batch alone is sharded.
     """
+    table = []
+    if shard_model:
+        params = state.params if hasattr(state, "params") else state
+        flat = jax.tree_util.tree_flatten_with_path(params)[0]
+        specs_flat = jax.tree_util.tree_flatten_with_path(
+            nerf_param_pspecs(params), is_leaf=lambda x: isinstance(x, P)
+        )[0]
+        table = [
+            (_path_names(pp), getattr(leaf, "shape", None), sp)
+            for (pp, leaf), (_, sp) in zip(flat, specs_flat)
+        ]
 
-    def spec(leaf):
-        if shard_model and hasattr(leaf, "ndim"):
-            if leaf.ndim == 2 and leaf.shape[1] % 128 == 0 and leaf.shape[1] >= 128:
-                return P(None, MODEL_AXIS)
-            if leaf.ndim == 1 and leaf.shape[0] % 128 == 0 and leaf.shape[0] >= 128:
-                return P(MODEL_AXIS)
+    def spec(path, leaf):
+        names = _path_names(path)
+        shape = getattr(leaf, "shape", None)
+        for pnames, pshape, psp in table:
+            if shape == pshape and names[-len(pnames):] == pnames:
+                return psp
         return P()
 
-    return jax.tree.map(lambda x: NamedSharding(mesh, spec(x)), state)
+    return jax.tree_util.tree_map_with_path(
+        lambda p, x: NamedSharding(mesh, spec(p, x)), state
+    )

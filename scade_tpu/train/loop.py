@@ -100,6 +100,7 @@ def args_to_configs(args):
         # the wild runner masks the RGB loss whenever a pixel mask exists
         # (run_scade_wild.py:976-1008); set by run_scade_wild.py
         mask_rgb=getattr(args, "mask_rgb", False),
+        pixel_sampling=getattr(args, "pixel_sampling", "stratified"),
     )
     return rc, tc
 

@@ -64,6 +64,17 @@ class TrainConfig:
     # loss masked by the space-carving mask (:818-830, :976-1008)
     mask_edges: bool = False
     mask_rgb: bool = False
+    # Per-step pixel selection. The reference's no-replacement choice
+    # (select_coordinates, run_nerf_helpers.py:279-283) lowers on TPU to a
+    # full H*W random permutation — a 292k-element sort that was measured
+    # at ~49 ms/step, ~80% of the whole train step (BASELINE.md r3).
+    #   "stratified": one uniform pixel per contiguous H*W/n_rand stratum —
+    #       O(n_rand), distinct by construction, identical per-pixel
+    #       marginals (n_rand/HW); only the joint law differs (documented,
+    #       PARITY.md §known deviations).
+    #   "choice": the reference's exact uniform-without-replacement law.
+    #   "iid": with replacement (≈1.8 expected duplicate pixels per step).
+    pixel_sampling: str = "stratified"
 
 
 class SceneTensors(NamedTuple):
@@ -189,8 +200,21 @@ def sample_ray_batch(key, scene: SceneTensors, H: int, W: int, n_train: int, tc:
     Returns (rays_o, rays_d, target_s, target_h, sc_mask, img_i)."""
     k_img, k_pix = jax.random.split(key)
     img_i = jax.random.randint(k_img, (), 0, n_train)
-    # no-replacement pixel choice, like select_coordinates (run_nerf_helpers.py:279-283)
-    pix = jax.random.choice(k_pix, H * W, (tc.n_rand,), replace=False)
+    # pixel choice (select_coordinates, run_nerf_helpers.py:279-283); see
+    # TrainConfig.pixel_sampling for why stratified is the default on TPU
+    if tc.pixel_sampling == "choice":
+        pix = jax.random.choice(k_pix, H * W, (tc.n_rand,), replace=False)
+    elif tc.pixel_sampling == "iid":
+        pix = jax.random.randint(k_pix, (tc.n_rand,), 0, H * W)
+    else:  # stratified
+        u = jax.random.uniform(k_pix, (tc.n_rand,), dtype=jnp.float32)
+        stride = (H * W) / tc.n_rand
+        pix = jnp.minimum(
+            ((jnp.arange(tc.n_rand, dtype=jnp.float32) + u) * stride).astype(
+                jnp.int32
+            ),
+            H * W - 1,
+        )
     rows = pix // W
     cols = pix % W
     coords = jnp.stack([rows, cols], axis=-1).astype(jnp.float32)

@@ -99,6 +99,12 @@ def build_parser(variant: str = "scannet") -> argparse.ArgumentParser:
     p.add_argument("--freeze_ss", type=int, default=400000)
 
     p.add_argument("--is_joint", type=_bool, default=False)
+    p.add_argument("--pixel_sampling", type=str, default="stratified",
+                   choices=["stratified", "choice", "iid"],
+                   help="per-step ray-pixel selection; 'choice' is the "
+                   "reference's exact no-replacement law (slow on TPU: "
+                   "full H*W permutation per step), 'stratified' keeps "
+                   "the per-pixel marginals at O(N_rand) cost")
     p.add_argument("--norm_p", type=int, default=2)
     p.add_argument("--space_carving_threshold", type=float, default=0.0)
     p.add_argument("--mask_corners", type=_bool, default=False)
