@@ -50,7 +50,11 @@ def main():
         # 8192-ray tiles bound activation memory (65536 rays x 192 samples
         # x 256-wide layers would blow HBM); lax.map pipelines the tiles.
         out = render_ray_batch(scene, rc, rays_o + salt, rays_d, 0.1, 10.0, chunk=8192)
-        return out["rgb_map"], out["depth_map"]
+        # Returning pred_hyp keeps the P_depth inverse-CDF branch live — the
+        # training path always computes it, so the recorded throughput must
+        # include it (rgb+depth alone lets XLA DCE that branch and flatters
+        # the number by ~5%).
+        return out["rgb_map"], out["depth_map"], out["pred_hyp"]
 
     # compile + warmup. NOTE: we materialize outputs to host (np.asarray)
     # rather than block_until_ready — on remote/tunneled devices execution
@@ -58,13 +62,19 @@ def main():
     # block-only timings meaningless.
     import numpy as np
 
-    np.asarray(render(scene, rays_o, rays_d, 0.0)[1])
-    np.asarray(render(scene, rays_o, rays_d, 0.0)[1])
+    np.asarray(render(scene, rays_o, rays_d, 0.0)[2])
+    np.asarray(render(scene, rays_o, rays_d, 0.0)[2])
 
+    # accumulate a scalar from each iteration ON DEVICE and fetch once at
+    # the end: the ~78 ms tunnel round-trip is then paid once instead of
+    # per iteration (~10% of each 0.6 s iteration)
     t0 = time.perf_counter()
+    acc = None
     for i in range(ITERS):
         out = render(scene, rays_o, rays_d, 1e-6 * (i + 1))
-        np.asarray(out[1])
+        piece = out[2][0, 0] + out[1][0]
+        acc = piece if acc is None else acc + piece
+    np.asarray(acc)
     dt = time.perf_counter() - t0
 
     rays_per_sec = BATCH * ITERS / dt

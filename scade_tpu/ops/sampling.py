@@ -103,29 +103,32 @@ def merge_sorted(a, b, va=None, vb=None):
     return merged, vals
 
 
-def sample_pdf(bins, weights, u):
-    """Inverse-CDF sampling of ``u`` from the histogram (bins, weights).
-
-    bins:    (..., M) sorted bin positions (z_vals midpoints).
-    weights: (..., M-1) unnormalized probabilities per bin interval.
-    u:       (..., S) uniform draws in [0, 1) (see ``draw_u``).
-    Returns  (..., S) samples.
-    """
+def _cdf_from_weights(weights):
     weights = weights + 1e-5  # prevent nans (reference :339)
     pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
     cdf = jnp.cumsum(pdf, axis=-1)
-    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)  # (..., M)
+    return jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)
 
-    # Gather-free inverse CDF: instead of searchsorted + 4 take_along_axis
-    # gathers (which lower to TPU-hostile gather loops and dominated render
-    # time — see BASELINE.md), exploit that BOTH cdf and bins are ascending:
-    #   x[inds-1] = max_m { x[m] : cdf[m] <= u }        ("below")
-    #   x[min(inds, M-1)] = min_m { x[m] : cdf[m] > u } (filler x[-1] ⇒ clip)
-    # Each is one fused compare+select+reduce over the (S, M) tile on the
-    # VPU; values are BIT-IDENTICAL to the gathered ones, and the
-    # subgradient w.r.t. cdf/bins matches the gather's (flows to the one
-    # selected element). le[..., 0] is always True (cdf[0] = 0 <= u), so the
-    # "below" reductions never see an empty mask.
+
+def _interp(u, cdf_below, cdf_above, bins_below, bins_above):
+    denom = cdf_above - cdf_below
+    denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)
+    t = (u - cdf_below) / denom
+    return bins_below + t * (bins_above - bins_below)
+
+
+def sample_pdf_masked(bins, weights, u):
+    """Masked-reduction inverse CDF (the round-2 gather-free form).
+
+    Exploits that BOTH cdf and bins are ascending:
+      x[inds-1] = max_m { x[m] : cdf[m] <= u }        ("below")
+      x[min(inds, M-1)] = min_m { x[m] : cdf[m] > u } (filler x[-1] ⇒ clip)
+    Each lookup is one fused compare+select+reduce over the (S, M) tile on
+    the VPU; values are BIT-IDENTICAL to the searchsorted+gather ones.
+    le[..., 0] is always True (cdf[0] = 0 <= u), so the "below" reductions
+    never see an empty mask.
+    """
+    cdf = _cdf_from_weights(weights)
     le = cdf[..., None, :] <= u[..., :, None]  # (..., S, M)
     cdf_b = jnp.broadcast_to(cdf[..., None, :], le.shape)
     bins_b = jnp.broadcast_to(bins[..., None, :], le.shape)
@@ -141,11 +144,77 @@ def sample_pdf(bins, weights, u):
         jnp.where(le, jnp.broadcast_to(bins[..., None, -1:], le.shape), bins_b),
         axis=-1,
     )
+    return _interp(u, cdf_below, cdf_above, bins_below, bins_above)
 
-    denom = cdf_above - cdf_below
-    denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)
-    t = (u - cdf_below) / denom
-    return bins_below + t * (bins_above - bins_below)
+
+def sample_pdf_onehot(bins, weights, u):
+    """One-hot-matmul inverse CDF — same values as ``sample_pdf_masked``,
+    restructured for the MXU and for cheap reverse-mode autodiff.
+
+    The masked form materializes ~8 (S, M) float tensors (4 where-selects +
+    their reduce inputs); its autodiff builds several more (max/min VJPs
+    re-broadcast equality masks). Here the "below" element (the LAST true
+    position of the ascending compare row) and "above" element (first false,
+    clipped to M-1) become explicit one-hot rows built from the single bool
+    tile, and the 4 lookups collapse into 2 batched (S, M) @ (M, 2) matmuls
+    on the MXU. Selecting one f32 value through a one-hot is exact at
+    precision HIGH/HIGHEST (the bf16x3 split of a value times an exact 1.0
+    reconstructs the value bitwise), so outputs stay bit-identical. The
+    backward w.r.t. cdf/bins is just the transposed matmuls — no (S, M)
+    equality-mask reconstruction — which matters for SCADE's P_depth draws
+    (the space-carving loss backprops through this op; reference
+    run_scade_scannet.py:726-730).
+    """
+    cdf = _cdf_from_weights(weights)
+    le = cdf[..., None, :] <= u[..., :, None]  # (..., S, M)
+    # last-true = le[m] & ~le[m+1] (pad: column M-1 stays set iff all true)
+    le_next = jnp.concatenate(
+        [le[..., 1:], jnp.zeros_like(le[..., :1])], axis=-1
+    )
+    below = jnp.logical_and(le, jnp.logical_not(le_next))
+    # first-false = ~le[m] & le[m-1]; if the row is all true, select M-1
+    # (the searchsorted clip min(inds, M-1) — both lookups then coincide)
+    le_prev = jnp.concatenate(
+        [jnp.ones_like(le[..., :1]), le[..., :-1]], axis=-1
+    )
+    above = jnp.logical_and(jnp.logical_not(le), le_prev)
+    above = above.at[..., -1].set(
+        jnp.logical_or(above[..., -1], le[..., -1])
+    )
+
+    vals = jnp.stack([cdf, bins], axis=-1)  # (..., M, 2)
+    f = jnp.float32
+    lo = jnp.einsum(
+        "...sm,...mc->...sc", below.astype(f), vals,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    hi = jnp.einsum(
+        "...sm,...mc->...sc", above.astype(f), vals,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return _interp(u, lo[..., 0], hi[..., 0], lo[..., 1], hi[..., 1])
+
+
+# the default implementation used by the renderer; SCADE_SAMPLE_PDF=masked
+# flips it for A/B profiling (see BASELINE.md for the on-chip numbers)
+import os as _os
+
+_IMPLS = {"masked": sample_pdf_masked, "onehot": sample_pdf_onehot}
+_DEFAULT_IMPL = _IMPLS[_os.environ.get("SCADE_SAMPLE_PDF", "onehot")]
+
+
+def sample_pdf(bins, weights, u):
+    """Inverse-CDF sampling of ``u`` from the histogram (bins, weights).
+
+    bins:    (..., M) sorted bin positions (z_vals midpoints).
+    weights: (..., M-1) unnormalized probabilities per bin interval.
+    u:       (..., S) uniform draws in [0, 1) (see ``draw_u``).
+    Returns  (..., S) samples. Semantics match the reference sample_pdf
+    family (run_nerf_helpers.py:337-538) bit-for-bit; see
+    ``sample_pdf_masked`` / ``sample_pdf_onehot`` for the two TPU
+    formulations (identical values, different lowering).
+    """
+    return _DEFAULT_IMPL(bins, weights, u)
 
 
 # ---------------------------------------------------------------------------

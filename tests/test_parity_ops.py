@@ -75,6 +75,59 @@ def test_sample_pdf_joint_parity():
     np.testing.assert_allclose(np.asarray(s), g["samples_joint"], rtol=1e-4, atol=1e-4)
 
 
+def test_sample_pdf_onehot_masked_bit_identical():
+    """The MXU one-hot form and the VPU masked-reduction form of the
+    inverse CDF must agree bitwise — values AND gradients (the P_depth
+    draws backprop into the fine weights via the space-carving loss)."""
+    import jax
+
+    from scade_tpu.ops.sampling import sample_pdf_masked, sample_pdf_onehot
+
+    g = load_golden("sample_pdf")
+    bins = jnp.asarray(g["bins"])
+    weights = jnp.asarray(g["weights"])
+    for u in (jnp.asarray(g["u"]), jnp.asarray(g["u_joint"]),
+              jnp.broadcast_to(jnp.linspace(0.0, 1.0, 64),
+                               (bins.shape[0], 64))):
+        a = np.asarray(sample_pdf_masked(bins, weights, u))
+        b = np.asarray(sample_pdf_onehot(bins, weights, u))
+        np.testing.assert_array_equal(a, b)
+
+        ga = jax.grad(lambda w: jnp.sum(sample_pdf_masked(bins, w, u) ** 2))(
+            weights
+        )
+        gb = jax.grad(lambda w: jnp.sum(sample_pdf_onehot(bins, w, u) ** 2))(
+            weights
+        )
+        # grads agree up to subgradient tie choice (zero-weight bins make
+        # exact cdf ties; max-VJP splits them, the one-hot picks one) and
+        # accumulation order — tolerance scales with the gradient magnitude
+        ga, gb = np.asarray(ga), np.asarray(gb)
+        np.testing.assert_allclose(
+            ga, gb, rtol=2e-5, atol=1e-5 * np.abs(ga).max()
+        )
+
+    # degenerate rows: all weight in one bin (u lands beyond cdf[-2]),
+    # u exactly 0, u exactly on a cdf knot
+    bins2 = jnp.broadcast_to(jnp.linspace(1.0, 2.0, 8), (3, 8))
+    w2 = jnp.stack([
+        jnp.asarray([0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0]),
+        jnp.asarray([1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+        jnp.full((7,), 1.0 / 7.0),
+    ])
+    cdf_knot = float(np.asarray(
+        (w2[2, 0] + 1e-5) / (jnp.sum(w2[2]) + 7e-5)
+    ))
+    u2 = jnp.stack([
+        jnp.asarray([0.0, 0.5, 0.999999]),
+        jnp.asarray([0.0, 0.5, 0.999999]),
+        jnp.asarray([0.0, cdf_knot, 1.0 - 1e-7]),
+    ])
+    a = np.asarray(sample_pdf_masked(bins2, w2, u2))
+    b = np.asarray(sample_pdf_onehot(bins2, w2, u2))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_sample_pdf_monotone_bounds():
     g = load_golden("sample_pdf")
     s = np.asarray(
