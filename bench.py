@@ -14,10 +14,13 @@ import time
 import jax
 import jax.numpy as jnp
 
+import os
+
 NORTH_STAR_RAYS_PER_SEC = 5e6
 # big batch amortizes the ~78 ms tunnel round-trip per materialization
-BATCH = 131072
-ITERS = 6
+BATCH = int(os.environ.get("SCADE_BENCH_BATCH", 131072))
+ITERS = int(os.environ.get("SCADE_BENCH_ITERS", 6))
+CHUNK = int(os.environ.get("SCADE_BENCH_CHUNK", 8192))
 
 
 def main():
@@ -49,11 +52,15 @@ def main():
     def render(scene, rays_o, rays_d, salt):
         # 8192-ray tiles bound activation memory (65536 rays x 192 samples
         # x 256-wide layers would blow HBM); lax.map pipelines the tiles.
-        out = render_ray_batch(scene, rc, rays_o + salt, rays_d, 0.1, 10.0, chunk=8192)
         # Returning pred_hyp keeps the P_depth inverse-CDF branch live — the
         # training path always computes it, so the recorded throughput must
         # include it (rgb+depth alone lets XLA DCE that branch and flatters
-        # the number by ~5%).
+        # the number by ~5%). `outputs=` prunes everything else BEFORE the
+        # lax.map stacks tiles into HBM.
+        out = render_ray_batch(
+            scene, rc, rays_o + salt, rays_d, 0.1, 10.0, chunk=CHUNK,
+            outputs=("rgb_map", "depth_map", "pred_hyp"),
+        )
         return out["rgb_map"], out["depth_map"], out["pred_hyp"]
 
     # compile + warmup. NOTE: we materialize outputs to host (np.asarray)

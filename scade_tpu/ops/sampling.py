@@ -195,12 +195,16 @@ def sample_pdf_onehot(bins, weights, u):
     return _interp(u, lo[..., 0], hi[..., 0], lo[..., 1], hi[..., 1])
 
 
-# the default implementation used by the renderer; SCADE_SAMPLE_PDF=masked
-# flips it for A/B profiling (see BASELINE.md for the on-chip numbers)
+# The default implementation used by the renderer; SCADE_SAMPLE_PDF=onehot
+# flips it for A/B profiling. Measured on-chip (BASELINE.md r3): identical
+# at train scale (22.3 vs 22.8 ms/step); at full-render scale the masked
+# form wins clearly (200k vs 183k rays/s) — XLA fuses its compare+select+
+# reduce without materializing the (S, M) tile, while the one-hot operands
+# must hit HBM for the MXU (~1.6 GB per 8192-ray chunk).
 import os as _os
 
 _IMPLS = {"masked": sample_pdf_masked, "onehot": sample_pdf_onehot}
-_DEFAULT_IMPL = _IMPLS[_os.environ.get("SCADE_SAMPLE_PDF", "onehot")]
+_DEFAULT_IMPL = _IMPLS[_os.environ.get("SCADE_SAMPLE_PDF", "masked")]
 
 
 def sample_pdf(bins, weights, u):

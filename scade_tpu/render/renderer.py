@@ -324,16 +324,26 @@ def render_ray_batch(
     far,
     chunk: int = 32768,
     key=None,
+    outputs: Optional[tuple] = None,
 ):
     """Render an arbitrary number of rays via static-shape tiling.
 
     Pads to a multiple of ``chunk``, reshapes to (n_tiles, chunk, ...), and
     `lax.map`s the tile renderer — the jit-friendly replacement for the
     reference's Python ``batchify_rays`` loop (run_scade_scannet.py:66-78).
+
+    ``outputs``: optional tuple of ret-dict keys to keep. Each lax.map tile
+    STACKS every returned leaf into an (n_tiles, chunk, ...) HBM buffer
+    before the caller can select from the dict, so consumers that need only
+    a few maps (bench, metrics) should name them here rather than relying
+    on scan-output DCE.
     """
     n = rays_o.shape[0]
     if n <= chunk:
-        return render_rays(scene, rc, rays_o, rays_d, near, far, key=key)
+        out = render_rays(scene, rc, rays_o, rays_d, near, far, key=key)
+        if outputs is not None:
+            out = {k: out[k] for k in outputs}
+        return out
 
     n_tiles = -(-n // chunk)
     pad = n_tiles * chunk - n
@@ -353,7 +363,10 @@ def render_ray_batch(
             tkey = None
         else:
             tro, trd, tkey = args
-        return render_rays(scene, rc, tro, trd, near, far, key=tkey)
+        out = render_rays(scene, rc, tro, trd, near, far, key=tkey)
+        if outputs is not None:
+            out = {k: out[k] for k in outputs}
+        return out
 
     out = jax.lax.map(tile, (ro, rd) if keys is None else (ro, rd, keys))
     return jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:])[:n], out)

@@ -2,10 +2,15 @@
 -dump hot loop, reference output_depth_hypothesis_scannet.py:415-488) and
 the SGD train step, at the production 448x448 shape.
 
-Timings materialize outputs to host (np.asarray) — block_until_ready does
-not force execution through the axon tunnel (BASELINE.md).
+MEASUREMENT PROTOCOL (BASELINE.md r3): every benched function reduces its
+output to a SCALAR on device, and timing fetches only that scalar —
+through the axon tunnel a full-tensor fetch moves at ~30 MB/s (a 32 MB
+conv output "costs" a second of pure transfer) and block_until_ready does
+not force execution at all. Per-call latency (~35-50 ms) is removed by
+timing k-call chains at two k's and taking the slope.
 
 Usage: python tools/bench_prior.py [--batch 5] [--precision bfloat16]
+       [--ablate]
 """
 
 import argparse
@@ -21,11 +26,50 @@ import jax
 import jax.numpy as jnp
 
 
-def ablate(args, model, variables, shifts, x, z, timeit):
-    """Attribute the prior's ~3% MFU (VERDICT r2 weak #2): where does the
-    time go (encoder vs decoder), what does precision buy, and how bad are
-    the ResNeXt grouped convs on the MXU vs an equivalent dense conv."""
-    from scade_tpu.prior.model import ResNeXtCIMLE, Decoder
+def make_timer(iters, ks=(1, 4)):
+    """timer(make_chain) where make_chain(k) -> jitted fn(salt)->scalar
+    running k dependent evaluations; returns slope seconds per evaluation."""
+
+    def timer(make_chain, label):
+        ts = []
+        for k in ks:
+            fn = make_chain(k)
+            np.asarray(fn(jnp.float32(1.0)))  # compile
+            np.asarray(fn(jnp.float32(2.0)))  # warm
+            t0 = time.perf_counter()
+            for i in range(iters):
+                np.asarray(fn(jnp.float32(3.0 + i)))
+            ts.append((time.perf_counter() - t0) / iters)
+        dt = (ts[1] - ts[0]) / (ks[1] - ks[0])
+        print(f"{label:42s} {dt * 1e3:8.1f} ms", flush=True)
+        return dt
+
+    return timer
+
+
+def chain_of(apply_fn, x, k, *state):
+    """k dependent applications of apply_fn(x + eps, *state) summed to one
+    scalar. x and state are jit ARGUMENTS — closed-over device arrays would
+    be baked into the HLO as constants, and 466 MB of ResNeXt params then
+    overflows the tunnel's remote_compile request (HTTP 413)."""
+
+    @jax.jit
+    def f(salt, x, *state):
+        def body(acc, i):
+            out = apply_fn(x + (salt * 1e-9) * i + acc * 0.0, *state)
+            return acc + jnp.sum(out), None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(k))
+        return acc
+
+    return lambda salt: f(salt, x, *state)
+
+
+def ablate(args, model, variables, shifts, x, z, timer):
+    """Attribute the prior's low MFU (VERDICT r2 weak #2): encoder vs
+    decoder, what precision buys, and the ResNeXt grouped-conv penalty vs
+    an equivalent dense conv."""
+    from scade_tpu.prior.model import Decoder, ResNeXtCIMLE
 
     cfg = model.cfg
     enc = ResNeXtCIMLE(cfg, adain_version="v2")
@@ -34,55 +78,65 @@ def ablate(args, model, variables, shifts, x, z, timeit):
              "batch_stats": variables["batch_stats"]["encoder"]}
     v_dec = {"params": variables["params"]["decoder"],
              "batch_stats": variables["batch_stats"]["decoder"]}
+    B = args.batch
+
+    feats = jax.jit(
+        lambda v, x, z: enc.apply(v, x, z, shifts, train=False)
+    )(v_enc, x, z)
+    feats = jax.tree.map(jnp.asarray, feats)
 
     for prec in ("highest", "bfloat16"):
         with jax.default_matmul_precision(prec):
-            full = jax.jit(
-                lambda v, x, z: model.apply(v, x, z, shifts, train=False)
+            dt = timer(
+                lambda k: chain_of(
+                    lambda xx, v: model.apply(v, xx, z, shifts, train=False),
+                    x, k, variables),
+                f"full fwd   [{prec}] (B={B})",
             )
-            dt = timeit(full, variables, x, z)
-            print(f"full fwd   [{prec:8s}]: {dt * 1e3:7.1f} ms "
-                  f"({args.batch / dt:5.1f} img/s)", flush=True)
-
-            enc_fwd = jax.jit(
-                lambda v, x, z: enc.apply(v, x, z, shifts, train=False)[-1]
+            print(f"{'':42s} = {B / dt:6.1f} img/s, dump rate "
+                  f"{B / dt / 20:5.2f} img/s at 20 draws", flush=True)
+            timer(
+                lambda k: chain_of(
+                    lambda xx, v: enc.apply(v, xx, z, shifts,
+                                            train=False)[-1], x, k, v_enc),
+                f"encoder    [{prec}]",
             )
-            dt_e = timeit(enc_fwd, v_enc, x, z)
-            print(f"encoder    [{prec:8s}]: {dt_e * 1e3:7.1f} ms", flush=True)
 
-            feats = jax.jit(
-                lambda v, x, z: enc.apply(v, x, z, shifts, train=False)
-            )(v_enc, x, z)
-            feats = jax.tree.map(jnp.asarray, feats)
-            dec_fwd = jax.jit(lambda v, f: dec.apply(v, f, train=False))
-            dt_d = timeit(dec_fwd, v_dec, feats)
-            print(f"decoder    [{prec:8s}]: {dt_d * 1e3:7.1f} ms", flush=True)
+            def dec_apply(f0, v, f1, f2, f3):
+                return dec.apply(v, [f0, f1, f2, f3], train=False)
+
+            timer(lambda k: chain_of(dec_apply, feats[0], k, v_dec,
+                                     feats[1], feats[2], feats[3]),
+                  f"decoder    [{prec}]")
 
     # grouped-conv microbench at the X101 layer2 shape: (B, 56, 56, 512),
     # 3x3, groups=32 (16 ch/group) — the MXU sees 16-wide matmuls
-    B = args.batch
     key = jax.random.PRNGKey(1)
     xx = jax.random.normal(key, (B, 56, 56, 512), jnp.float32)
     wg = jax.random.normal(key, (3, 3, 16, 512), jnp.float32) * 0.05
     wd = jax.random.normal(key, (3, 3, 512, 512), jnp.float32) * 0.05
     dn = jax.lax.conv_dimension_numbers(xx.shape, wd.shape,
                                         ("NHWC", "HWIO", "NHWC"))
+    gflop_g = 2 * 9 * 512 * 16 * 56 * 56 * B / 1e9
+    gflop_d = 2 * 9 * 512 * 512 * 56 * 56 * B / 1e9
 
     for prec in ("highest", "bfloat16"):
         with jax.default_matmul_precision(prec):
-            grouped = jax.jit(lambda x, w: jax.lax.conv_general_dilated(
-                x, w, (1, 1), "SAME", dimension_numbers=dn,
-                feature_group_count=32))
-            dense = jax.jit(lambda x, w: jax.lax.conv_general_dilated(
-                x, w, (1, 1), "SAME", dimension_numbers=dn))
-            dt_g = timeit(grouped, xx, wg)
-            dt_dn = timeit(dense, xx, wd)
-            gflop_g = 2 * 9 * 512 * 16 * 56 * 56 * B / 1e9
-            gflop_d = 2 * 9 * 512 * 512 * 56 * 56 * B / 1e9
-            print(f"conv3x3 56x56x512 [{prec:8s}]: grouped(32) "
-                  f"{dt_g * 1e3:6.1f} ms ({gflop_g / dt_g:6.0f} GFLOP/s)  "
-                  f"dense {dt_dn * 1e3:6.1f} ms "
-                  f"({gflop_d / dt_dn:6.0f} GFLOP/s)", flush=True)
+            dt_g = timer(
+                lambda k: chain_of(
+                    lambda a, w: jax.lax.conv_general_dilated(
+                        a, w, (1, 1), "SAME", dimension_numbers=dn,
+                        feature_group_count=32), xx, k, wg),
+                f"conv3x3 56x56x512 grouped(32) [{prec}]",
+            )
+            dt_d = timer(
+                lambda k: chain_of(
+                    lambda a, w: jax.lax.conv_general_dilated(
+                        a, w, (1, 1), "SAME", dimension_numbers=dn), xx, k, wd),
+                f"conv3x3 56x56x512 dense       [{prec}]",
+            )
+            print(f"{'':42s} grouped {gflop_g / dt_g:7.0f} GFLOP/s | "
+                  f"dense {gflop_d / dt_d:7.0f} GFLOP/s", flush=True)
 
 
 def main():
@@ -91,7 +145,7 @@ def main():
                     help="z minibatch size (reference draws 20 z in "
                          "minibatches of 5, :482-488)")
     ap.add_argument("--image_size", type=int, default=448)
-    ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--precision", default=None,
                     choices=["highest", "high", "bfloat16", "tensorfloat32"],
                     help="matmul/conv precision on the MXU; bfloat16 is the "
@@ -124,63 +178,60 @@ def main():
     n_params = sum(p.size for p in jax.tree.leaves(variables["params"]))
     print(f"params: {n_params / 1e6:.1f}M", flush=True)
 
-    fwd = jax.jit(lambda v, x, z: model.apply(v, x, z, shifts, train=False))
-
-    def timeit(fn, *a, iters=args.iters):
-        np.asarray(fn(*a))[0, 0, 0]  # compile
-        np.asarray(fn(*a))[0, 0, 0]  # warm
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            np.asarray(fn(*a))[0, 0, 0]
-        return (time.perf_counter() - t0) / iters
+    timer = make_timer(args.iters)
 
     if args.ablate:
-        ablate(args, model, variables, shifts, x, z, timeit)
+        ablate(args, model, variables, shifts, x, z, timer)
         return
 
-    dt = timeit(fwd, variables, x, z)
+    dt = timer(
+        lambda k: chain_of(
+            lambda xx, v: model.apply(v, xx, z, shifts, train=False),
+            x, k, variables),
+        f"inference fwd (B={B}, {S}x{S})",
+    )
     img_s = B / dt
-    print(f"inference fwd (B={B}, {S}x{S}): {dt * 1e3:.1f} ms "
-          f"= {img_s:.1f} img/s", flush=True)
-    # the dump loop draws 20 hypotheses per image
-    print(f"→ hypothesis dump rate: {img_s / 20:.2f} images/s "
-          f"(20 z-draws each)", flush=True)
+    print(f"= {img_s:.1f} img/s → hypothesis dump rate {img_s / 20:.2f} "
+          f"images/s (20 z-draws each)", flush=True)
 
     # train step: forward + backward + SGD on an ILNR-style masked MAE
     # (the full criterion is data-dependent; the MLP/conv cost dominates)
     import optax
 
-    tx = optax.chain(optax.clip_by_global_norm(10.0), optax.sgd(1e-3, momentum=0.9))
+    tx = optax.chain(optax.clip_by_global_norm(10.0),
+                     optax.sgd(1e-3, momentum=0.9))
     opt_state = tx.init(variables["params"])
     target = jax.random.normal(jax.random.fold_in(key, 2), (B, S, S, 1))
+    batch_stats = variables["batch_stats"]
 
-    @jax.jit
-    def train_step(params, batch_stats, opt_state, x, z, target):
-        def loss_fn(p):
-            out, new_vars = model.apply(
-                {"params": p, "batch_stats": batch_stats}, x, z, shifts,
-                train=True, mutable=["batch_stats"],
+    def train_chain(k):
+        @jax.jit
+        def f(salt, params0, batch_stats, opt_state, x, target):
+            def loss_fn(p, xx):
+                out, new_vars = model.apply(
+                    {"params": p, "batch_stats": batch_stats}, xx, z, shifts,
+                    train=True, mutable=["batch_stats"],
+                )
+                return jnp.abs(out - target).mean(), new_vars["batch_stats"]
+
+            def body(carry, i):
+                params, opt_state = carry
+                xx = x + (salt * 1e-9) * i
+                (loss, _), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params, xx)
+                updates, new_opt = tx.update(grads, opt_state, params)
+                return (optax.apply_updates(params, updates), new_opt), loss
+
+            (_, _), losses = jax.lax.scan(
+                body, (params0, opt_state), jnp.arange(k)
             )
-            return jnp.abs(out - target).mean(), new_vars["batch_stats"]
+            return jnp.sum(losses)
 
-        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, new_opt = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), new_bs, new_opt, loss
+        return lambda salt: f(salt, variables["params"], batch_stats,
+                              opt_state, x, target)
 
-    params, batch_stats = variables["params"], variables["batch_stats"]
-
-    def step_fn(params, batch_stats, opt_state):
-        p, bs, o, loss = train_step(params, batch_stats, opt_state, x, z, target)
-        return loss
-
-    np.asarray(step_fn(params, batch_stats, opt_state))  # compile
-    np.asarray(step_fn(params, batch_stats, opt_state))
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
-        np.asarray(step_fn(params, batch_stats, opt_state))
-    dt = (time.perf_counter() - t0) / args.iters
-    print(f"train step (B={B}): {dt * 1e3:.1f} ms = {B / dt:.1f} img/s",
-          flush=True)
+    dt = timer(train_chain, f"train step (B={B})")
+    print(f"= {B / dt:.1f} img/s", flush=True)
 
 
 if __name__ == "__main__":

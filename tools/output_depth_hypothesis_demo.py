@@ -31,12 +31,24 @@ def main():
     ap.add_argument("--seed_num", type=int, default=0)
     ap.add_argument("--small_model", action="store_true")
     ap.add_argument("--image_size", type=int, default=448)
+    ap.add_argument("--precision", default="bfloat16",
+                    choices=["highest", "high", "bfloat16", "tensorfloat32",
+                             "ambient"],
+                    help="matmul/conv precision for the forward passes "
+                         "(bfloat16 = TPU fast path; 'highest' = exact f32)")
     args = ap.parse_args()
 
     if os.environ.get("SCADE_PLATFORM"):
         import jax
 
         jax.config.update("jax_platforms", os.environ["SCADE_PLATFORM"])
+
+    import jax as _jax_precision_cfg
+
+    if args.precision != "ambient":
+        _jax_precision_cfg.config.update(
+            "jax_default_matmul_precision", args.precision
+        )
 
     import cv2
     import jax

@@ -41,6 +41,14 @@ def main():
     ap.add_argument("--small_model", action="store_true")
     ap.add_argument("--save_previews", action="store_true")
     ap.add_argument("--image_size", type=int, default=448)
+    ap.add_argument("--precision", default="bfloat16",
+                    choices=["highest", "high", "bfloat16", "tensorfloat32",
+                             "ambient"],
+                    help="matmul/conv precision for the dump forward passes; "
+                         "bfloat16 is the TPU fast path (the downstream "
+                         "SfM polyfit realigns every hypothesis, and the "
+                         "reference itself runs TF32 on Ampere); 'highest' "
+                         "restores exact f32")
     args = ap.parse_args()
 
     if os.environ.get("SCADE_PLATFORM"):
@@ -49,6 +57,9 @@ def main():
         jax.config.update("jax_platforms", os.environ["SCADE_PLATFORM"])
 
     import jax
+
+    if args.precision != "ambient":
+        jax.config.update("jax_default_matmul_precision", args.precision)
 
     from scade_tpu.prior.dump import dump_depth_hypotheses
     from scade_tpu.prior.model import PriorConfig, backbone_config, init_prior

@@ -93,12 +93,21 @@ def main():
         return out["rgb_map"], out["depth_map"], out["pred_hyp"]
 
     def make_body(do_imp_sample=True, do_sort=True, do_pred_hyp=True,
-                  do_coarse=True):
+                  do_coarse=True, imp_mode="use", union="sort"):
+        """imp_mode: "use" (normal), "compute_only" (run sample_pdf, keep
+        its result live via a side output, but feed the fine pass a
+        broadcast linspace — separates the op's compute cost from the
+        downstream data-dependence it creates). union: "sort" (concat+sort)
+        or "merge" (the production merge_sorted)."""
+
         def body(scene, ro, rd):
+            from scade_tpu.ops.sampling import merge_sorted
+
             viewdirs = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
             nearb = jnp.broadcast_to(jnp.float32(near), (n_rays, 1))
             farb = jnp.broadcast_to(jnp.float32(far), (n_rays, 1))
             z_vals = stratified_z_vals(nearb, farb, NS, rc.lindisp)
+            side = jnp.zeros((n_rays,), jnp.float32)
             if do_coarse:
                 pts = ro[..., None, :] + rd[..., None, :] * z_vals[..., :, None]
                 raw = _query_network(
@@ -107,22 +116,36 @@ def main():
                 rgb_map, _, _, weights, depth_map = raw2outputs(
                     raw, z_vals, rd, 0.0
                 )
+                # keep the coarse pass LIVE in every variant: without this,
+                # do_imp_sample=False leaves `weights` unconsumed and XLA
+                # dead-code-eliminates the whole coarse MLP — which made the
+                # round-2 "no-sampling floor" drop 25% of the MLP work and
+                # overstate the remaining render gap (BASELINE.md r3)
+                side = side + jnp.sum(weights, axis=-1) * 1e-12
             else:
                 weights = jnp.ones((n_rays, NS), jnp.float32) / NS
-
             if do_imp_sample:
                 z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
                 u_imp = draw_u(None, n_rays, NI, det=True, joint=False)
                 z_samples = sample_pdf(z_mid, weights[..., 1:-1], u_imp)
                 z_samples = jax.lax.stop_gradient(z_samples)
+                if imp_mode == "compute_only":
+                    side = jnp.sum(z_samples, axis=-1)
+                    z_samples = jnp.broadcast_to(
+                        jnp.linspace(near, far, NI, dtype=jnp.float32),
+                        (n_rays, NI),
+                    )
             else:
                 z_samples = jnp.broadcast_to(
                     jnp.linspace(near, far, NI, dtype=jnp.float32), (n_rays, NI)
                 )
 
-            z_all = jnp.concatenate([z_vals, z_samples], axis=-1)
-            if do_sort:
-                z_all = jnp.sort(z_all, axis=-1)
+            if union == "merge" and do_sort:
+                z_all = merge_sorted(z_vals, z_samples)
+            else:
+                z_all = jnp.concatenate([z_vals, z_samples], axis=-1)
+                if do_sort:
+                    z_all = jnp.sort(z_all, axis=-1)
             pts = ro[..., None, :] + rd[..., None, :] * z_all[..., :, None]
             raw = _query_network(
                 scene.params_fine, rc.nerf_fine, rc, pts, viewdirs, scene
@@ -135,7 +158,7 @@ def main():
                 pred_hyp = sample_pdf(z_mid2, weights[..., 1:-1], u)
             else:
                 pred_hyp = depth_map[:, None]
-            return rgb_map, depth_map, pred_hyp
+            return rgb_map, depth_map + side, pred_hyp
 
         return body
 
@@ -165,11 +188,17 @@ def main():
     variants = {
         "full(render_rays)": full,
         "full(reassembled)": make_body(),
+        "full(merge)": make_body(union="merge"),
+        "imp_compute_only": make_body(imp_mode="compute_only"),
         "no_sort": make_body(do_sort=False),
         "no_pred_hyp": make_body(do_pred_hyp=False),
         "no_imp_sample": make_body(do_imp_sample=False),
         "no_sampling_at_all": make_body(
             do_imp_sample=False, do_sort=False, do_pred_hyp=False
+        ),
+        "fine_only_floor": make_body(
+            do_coarse=False, do_imp_sample=False, do_sort=False,
+            do_pred_hyp=False,
         ),
         "mlp_only": mlp_only,
     }

@@ -74,6 +74,13 @@ def main():
                     help="tiny ResNeXt variant (tests only)")
     ap.add_argument("--ckpt", default=None, help="resume/finetune checkpoint")
     ap.add_argument("--image_size", type=int, default=448)
+    ap.add_argument("--precision", default="ambient",
+                    choices=["highest", "high", "bfloat16", "tensorfloat32",
+                             "ambient"],
+                    help="matmul/conv precision (params/accumulation stay "
+                         "f32). bfloat16 measures ~3x on this chip "
+                         "(BASELINE.md r3); the conservative default keeps "
+                         "the ambient JAX setting")
     args = ap.parse_args()
 
     if os.environ.get("SCADE_PLATFORM"):
@@ -82,6 +89,9 @@ def main():
         jax.config.update("jax_platforms", os.environ["SCADE_PLATFORM"])
 
     import jax
+
+    if args.precision != "ambient":
+        jax.config.update("jax_default_matmul_precision", args.precision)
     import numpy as np
     from flax import serialization
 
