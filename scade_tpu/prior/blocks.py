@@ -16,35 +16,43 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+def _interp_matrix(in_size: int, out_size: int) -> jnp.ndarray:
+    """(out_size, in_size) align-corners bilinear interpolation matrix —
+    2 nonzeros per row: out = M @ x. Built from static shapes only, so XLA
+    constant-folds it."""
+    if out_size == 1 or in_size == 1:
+        m = jnp.zeros((out_size, in_size), jnp.float32)
+        return m.at[:, 0].set(1.0)
+    s = jnp.arange(out_size, dtype=jnp.float32) * (in_size - 1) / (out_size - 1)
+    i0 = jnp.floor(s).astype(jnp.int32)
+    i1 = jnp.minimum(i0 + 1, in_size - 1)
+    w = s - i0.astype(jnp.float32)
+    cols = jnp.arange(in_size, dtype=jnp.int32)
+    one0 = (i0[:, None] == cols).astype(jnp.float32)
+    one1 = (i1[:, None] == cols).astype(jnp.float32)
+    # where i0 == i1 (exact-hit rows, incl. the clip at in_size-1) the two
+    # one-hots coincide and the weights sum to 1 — same value as the gather
+    return one0 * (1.0 - w)[:, None] + one1 * w[:, None]
+
+
 def resize_bilinear_align_corners(x, size):
     """torch F.interpolate(mode='bilinear', align_corners=True) to an
     arbitrary (oh, ow) in NHWC.
 
-    jax.image.resize has no align_corners mode, so gather the interpolation
-    explicitly: out[i] = lerp(x[floor(s)], x[ceil(s)]) with
-    s = i * (in-1)/(out-1).
+    jax.image.resize has no align_corners mode. The interpolation is two
+    small matmuls with constant (out, in) matrices of 2 nonzeros per row —
+    the gather formulation materialized ~500 MB copies per decoder
+    upsample on TPU and dominated the prior train-step HBM footprint
+    (BASELINE.md r3); the matmul form rides the MXU and fuses. Values
+    match the gather form (each output is the same two-term lerp; the
+    zero products contribute exactly 0 in f32).
     """
     n, h, w, c = x.shape
     oh, ow = size
-
-    def axis_weights(in_size, out_size):
-        if out_size == 1 or in_size == 1:
-            idx0 = jnp.zeros((out_size,), jnp.int32)
-            return idx0, idx0, jnp.zeros((out_size,), jnp.float32)
-        s = jnp.arange(out_size, dtype=jnp.float32) * (in_size - 1) / (out_size - 1)
-        i0 = jnp.floor(s).astype(jnp.int32)
-        i1 = jnp.minimum(i0 + 1, in_size - 1)
-        return i0, i1, s - i0.astype(jnp.float32)
-
-    r0, r1, rw = axis_weights(h, oh)
-    c0, c1, cw = axis_weights(w, ow)
-
-    top = x[:, r0, :, :] * (1 - rw)[None, :, None, None] + x[:, r1, :, :] * rw[None, :, None, None]
-    out = (
-        top[:, :, c0, :] * (1 - cw)[None, None, :, None]
-        + top[:, :, c1, :] * cw[None, None, :, None]
-    )
-    return out
+    R = _interp_matrix(h, oh)  # (oh, h)
+    C = _interp_matrix(w, ow)  # (ow, w)
+    top = jnp.einsum("oh,nhwc->nowc", R, x)
+    return jnp.einsum("pw,nowc->nopc", C, top)
 
 
 def upsample_bilinear_align_corners(x, factor: int):

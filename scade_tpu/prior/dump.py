@@ -30,7 +30,7 @@ def dump_depth_hypotheses(
     dump_dir: str,
     d_latent: int = 32,
     num_hypothesis: int = 20,
-    mini_batch_size: int = 5,
+    mini_batch_size: int = 20,
     dataset_name: str = "scannet",
     sfm_mask_threshold: float = 0.1,
     default_scale: float = 0.5,

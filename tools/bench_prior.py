@@ -230,8 +230,12 @@ def main():
         return lambda salt: f(salt, variables["params"], batch_stats,
                               opt_state, x, target)
 
-    dt = timer(train_chain, f"train step (B={B})")
-    print(f"= {B / dt:.1f} img/s", flush=True)
+    try:
+        dt = timer(train_chain, f"train step (B={B})")
+        print(f"= {B / dt:.1f} img/s", flush=True)
+    except Exception as e:  # large B OOMs HBM (B=20 needs ~16.7 GB)
+        print(f"train step (B={B}) skipped: {type(e).__name__}: "
+              f"{str(e)[:160]}", flush=True)
 
 
 if __name__ == "__main__":

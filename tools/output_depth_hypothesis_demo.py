@@ -27,7 +27,8 @@ def main():
                     help="encoder cIMLE AdaIn flavor")
     ap.add_argument("--backbone", default="resnext101_32x8d")
     ap.add_argument("--num_hypothesis", type=int, default=20)
-    ap.add_argument("--mini_batch_size", type=int, default=5)
+    ap.add_argument("--mini_batch_size", type=int, default=20,
+                    help="z-draws per forward program (see the scannet tool)")
     ap.add_argument("--seed_num", type=int, default=0)
     ap.add_argument("--small_model", action="store_true")
     ap.add_argument("--image_size", type=int, default=448)

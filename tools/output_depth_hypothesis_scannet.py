@@ -29,7 +29,12 @@ def main():
                     help="encoder cIMLE AdaIn flavor")
     ap.add_argument("--backbone", default="resnext101_32x8d")
     ap.add_argument("--num_hypothesis", type=int, default=20)
-    ap.add_argument("--mini_batch_size", type=int, default=5)
+    ap.add_argument("--mini_batch_size", type=int, default=20,
+                    help="z-draws per forward program; the reference uses "
+                         "4 sets of 5 for GPU memory "
+                         "(output_depth_hypothesis_scannet.py:393-395); one "
+                         "20-draw program measures 6.6 img/s vs 4.2 at 5 on "
+                         "this chip (BASELINE.md r3)")
     ap.add_argument("--sfm_mask_threshold", type=float, default=0.1)
     ap.add_argument("--sfm_scaling_factor", type=float, default=1000.0,
                     help="SfM depth png units per meter")
