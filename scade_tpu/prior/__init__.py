@@ -19,3 +19,10 @@ from scade_tpu.prior.model import (  # noqa: F401
     init_prior,
     prior_apply,
 )
+from scade_tpu.prior.spvcnn import (  # noqa: F401
+    SPVCNNConfig,
+    SparsePoints,
+    SparseVoxels,
+    init_spvcnn,
+    spvcnn_apply,
+)

@@ -54,8 +54,11 @@ def dump_depth_hypotheses(
     key = jax.random.PRNGKey(seed)
     num_sets = max(1, num_hypothesis // mini_batch_size)
 
+    # variables/shifts are jit ARGUMENTS: closed-over device arrays are
+    # baked into the HLO as constants, and the 466 MB ResNeXt params then
+    # overflow the axon tunnel's remote_compile request (HTTP 413).
     @jax.jit
-    def infer(rgb, z):
+    def infer(variables, shifts, rgb, z):
         rgb_rep = jnp.repeat(rgb, mini_batch_size, axis=0)
         return prior_apply(model, variables, shifts, rgb_rep, z)
 
@@ -73,7 +76,9 @@ def dump_depth_hypotheses(
         for _ in range(num_sets):
             key, k = jax.random.split(key)
             z = jax.random.normal(k, (mini_batch_size, d_latent), jnp.float32)
-            depth = np.asarray(infer(jnp.asarray(ex.rgb[None]), z))[..., 0]
+            depth = np.asarray(
+                infer(variables, shifts, jnp.asarray(ex.rgb[None]), z)
+            )[..., 0]
             hyps.extend(list(depth))
         hyps = hyps[:num_hypothesis]
 

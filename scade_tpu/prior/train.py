@@ -150,8 +150,11 @@ def compute_adain_stats(model, variables, batches: Iterable[dict], key,
 
     zero = zero_shifts_for(model)
 
+    # variables as a jit argument, not a closure: closed-over arrays bake
+    # into the HLO and a full-model constant blob can overflow the axon
+    # tunnel's remote_compile request size (HTTP 413 — see prior/dump.py).
     @jax.jit
-    def acts_fn(rgb, z):
+    def acts_fn(variables, rgb, z):
         rgb_rep = jnp.repeat(rgb, mini_batch_size, axis=0)
         acts = get_adain_init_act(model, variables, zero, rgb_rep, z)
         # spatial mean per channel, then mean over the z minibatch (:336-348)
@@ -161,7 +164,7 @@ def compute_adain_stats(model, variables, batches: Iterable[dict], key,
     for i, batch in enumerate(batches):
         key, k = jax.random.split(key)
         z = jax.random.normal(k, (mini_batch_size, d_latent), jnp.float32)
-        means = acts_fn(jnp.asarray(batch["rgb"][:1]), z)
+        means = acts_fn(variables, jnp.asarray(batch["rgb"][:1]), z)
         for j in range(4):
             per_image[j].append(np.asarray(means[j]))
 

@@ -139,6 +139,110 @@ def ablate(args, model, variables, shifts, x, z, timer):
                   f"dense {gflop_d / dt_d:7.0f} GFLOP/s", flush=True)
 
 
+def ablate_train(args, model, variables, shifts, x, z, timer):
+    """Attribute the SGD train step's cost (BASELINE r3: step ≈ 5x fwd at
+    B=5 — canonical conv fwd:bwd is ~1:2, so ~2x is unexplained). Chains
+    carry (params, opt_state) through lax.scan; every variant consumes a
+    scalar so XLA DCEs the unused machinery."""
+    import optax
+
+    B = args.batch
+    target = jax.random.normal(jax.random.PRNGKey(2), (B, args.image_size,
+                                                       args.image_size, 1))
+    batch_stats = variables["batch_stats"]
+    tx = optax.chain(optax.clip_by_global_norm(10.0),
+                     optax.sgd(1e-3, momentum=0.9))
+    opt_state = tx.init(variables["params"])
+
+    def fwd_chain(train):
+        def make(k):
+            @jax.jit
+            def f(salt, params, batch_stats, x, target):
+                def body(acc, i):
+                    xx = x + (salt * 1e-9) * i + acc * 0.0
+                    if train:
+                        out, _ = model.apply(
+                            {"params": params, "batch_stats": batch_stats},
+                            xx, z, shifts, train=True,
+                            mutable=["batch_stats"])
+                    else:
+                        out = model.apply(
+                            {"params": params, "batch_stats": batch_stats},
+                            xx, z, shifts, train=False)
+                    return acc + jnp.abs(out - target).mean(), None
+
+                acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(k))
+                return acc
+
+            return lambda salt: f(salt, variables["params"], batch_stats,
+                                  x, target)
+
+        return make
+
+    def step_chain(mode):
+        """mode: 'grads' (no optimizer), 'full' (grads+clip+sgd),
+        'dec_only' (stop_gradient after the encoder — isolates the
+        decoder+loss backward), 'no_bnstats' (train=False fwd in the
+        grad, i.e. running-stat BN — isolates batch-stat cost)."""
+
+        def make(k):
+            @jax.jit
+            def f(salt, params0, batch_stats, opt_state, x, target):
+                def loss_fn(p, xx):
+                    train = mode != "no_bnstats"
+                    kwargs = dict(train=train)
+                    if train:
+                        kwargs["mutable"] = ["batch_stats"]
+                    out = model.apply(
+                        {"params": p, "batch_stats": batch_stats}, xx, z,
+                        shifts, **kwargs)
+                    if train:
+                        out = out[0]
+                    return jnp.abs(out - target).mean()
+
+                def body(carry, i):
+                    params, opt_state = carry
+                    xx = x + (salt * 1e-9) * i
+                    if mode == "dec_only":
+                        p = {
+                            "encoder": jax.tree.map(
+                                jax.lax.stop_gradient, params["encoder"]),
+                            **{k2: v for k2, v in params.items()
+                               if k2 != "encoder"},
+                        }
+                    else:
+                        p = params
+                    loss, grads = jax.value_and_grad(loss_fn)(p, xx)
+                    if mode == "full":
+                        updates, opt_state = tx.update(grads, opt_state,
+                                                       params)
+                        params = optax.apply_updates(params, updates)
+                    else:
+                        # consume grads so the bwd isn't DCE'd
+                        loss = loss + 1e-30 * optax.global_norm(grads)
+                    return (params, opt_state), loss
+
+                (_, _), losses = jax.lax.scan(
+                    body, (params0, opt_state), jnp.arange(k))
+                return jnp.sum(losses)
+
+            return lambda salt: f(salt, variables["params"], batch_stats,
+                                  opt_state, x, target)
+
+        return make
+
+    for prec in ("bfloat16",) if args.precision == "bfloat16" else \
+            ("highest", "bfloat16"):
+        with jax.default_matmul_precision(prec):
+            timer(fwd_chain(False), f"fwd eval-BN        [{prec}] (B={B})")
+            timer(fwd_chain(True), f"fwd train-BN stats [{prec}]")
+            timer(step_chain("no_bnstats"), f"grads, eval-BN fwd [{prec}]")
+            timer(step_chain("grads"), f"grads only         [{prec}]")
+            timer(step_chain("dec_only"), f"grads dec-only     [{prec}]")
+            dt = timer(step_chain("full"), f"full step          [{prec}]")
+            print(f"{'':42s} = {B / dt:6.1f} img/s", flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=5,
@@ -154,6 +258,9 @@ def main():
     ap.add_argument("--ablate", action="store_true",
                     help="attribution mode: encoder vs decoder, grouped-vs-"
                          "dense conv microbench, f32-vs-bf16 A/B")
+    ap.add_argument("--ablate_train", action="store_true",
+                    help="train-step attribution: fwd / BN stats / grads / "
+                         "decoder-only grads / full SGD step")
     args = ap.parse_args()
     if args.precision:
         jax.config.update("jax_default_matmul_precision", args.precision)
@@ -182,6 +289,9 @@ def main():
 
     if args.ablate:
         ablate(args, model, variables, shifts, x, z, timer)
+        return
+    if args.ablate_train:
+        ablate_train(args, model, variables, shifts, x, z, timer)
         return
 
     dt = timer(

@@ -43,7 +43,16 @@ def main():
     ap.add_argument("--num_hypothesis", type=int, default=20)
     ap.add_argument("--small", action="store_true",
                     help="tiny models/shapes (CPU smoke run)")
+    ap.add_argument("--resume_from", default=None,
+                    choices=["prior_train", "dump", "nerf"],
+                    help="skip already-completed stages (their artifacts "
+                         "must exist under --work_dir)")
     args = ap.parse_args()
+    order = [None, "prior_train", "dump", "nerf"]
+    start = order.index(args.resume_from)
+
+    def skip(stage_idx):
+        return stage_idx < start
 
     os.makedirs(args.work_dir, exist_ok=True)
     scene = os.path.join(args.work_dir, args.scene_id)
@@ -66,11 +75,12 @@ def main():
         return _T()
 
     K = 4 if args.small else args.num_hypothesis
-    with stage("make_scene"):
-        sh([py, "tools/make_synthetic_scene.py", scene,
-            "--H", str(args.H), "--W", str(args.W), "--K", "2",
-            "--n_train", str(args.n_train), "--n_val", "1", "--n_test", "2",
-            "--n_video", "0"])
+    if not skip(0):
+        with stage("make_scene"):
+            sh([py, "tools/make_synthetic_scene.py", scene,
+                "--H", str(args.H), "--W", str(args.W), "--K", "2",
+                "--n_train", str(args.n_train), "--n_val", "1",
+                "--n_test", "2", "--n_video", "0"])
 
     prior_flags = [
         "--scene_dir", os.path.join(scene),
@@ -89,8 +99,9 @@ def main():
                         "--mini_batch_size", "5", "--batchsize", "4",
                         "--adain_subset", str(args.n_train)]
 
-    with stage("prior_train (AdaIn init + z-recache + SGD epochs)"):
-        sh([py, "tools/train_prior.py"] + prior_flags, env=env)
+    if not skip(1):
+        with stage("prior_train (AdaIn init + z-recache + SGD epochs)"):
+            sh([py, "tools/train_prior.py"] + prior_flags, env=env)
 
     ckpts = sorted(f for f in os.listdir(log_dir) if f.endswith(".msgpack"))
     assert ckpts, f"no prior ckpt under {log_dir}"
@@ -108,9 +119,10 @@ def main():
         dump_flags += ["--d_latent", "32",
                        "--mini_batch_size", str(K)]  # all K in ONE program
 
-    with stage(f"hypothesis_dump ({K} per image)"):
-        sh([py, "tools/output_depth_hypothesis_scannet.py"] + dump_flags,
-           env=env)
+    if not skip(2):
+        with stage(f"hypothesis_dump ({K} per image)"):
+            sh([py, "tools/output_depth_hypothesis_scannet.py"] + dump_flags,
+               env=env)
 
     nerf_flags = [
         "train", "--data_dir", args.work_dir, "--scene_id", args.scene_id,
