@@ -48,43 +48,59 @@ def main():
     rays_d = jax.random.normal(kd, (BATCH, 3), jnp.float32)
     rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
 
-    @jax.jit
-    def render(scene, rays_o, rays_d, salt):
-        # 8192-ray tiles bound activation memory (65536 rays x 192 samples
-        # x 256-wide layers would blow HBM); lax.map pipelines the tiles.
-        # Returning pred_hyp keeps the P_depth inverse-CDF branch live — the
-        # training path always computes it, so the recorded throughput must
-        # include it (rgb+depth alone lets XLA DCE that branch and flatters
-        # the number by ~5%). `outputs=` prunes everything else BEFORE the
-        # lax.map stacks tiles into HBM.
-        out = render_ray_batch(
-            scene, rc, rays_o + salt, rays_d, 0.1, 10.0, chunk=CHUNK,
-            outputs=("rgb_map", "depth_map", "pred_hyp"),
-        )
-        return out["rgb_map"], out["depth_map"], out["pred_hyp"]
+    def make_chain(k):
+        # k dependent renders chained in ONE program via lax.scan: per-call
+        # protocols under-read through the axon tunnel because every
+        # dispatch pays an unoverlapped ~80-140 ms round trip (measured:
+        # per-call 164k vs in-program 198k rays/s). Timing the slope
+        # between two chain lengths removes the remaining fixed cost.
+        @jax.jit
+        def f(salt, scene, rays_o, rays_d):
+            def body(acc, i):
+                # 8192-ray tiles bound activation memory; lax.map
+                # pipelines the tiles. Returning pred_hyp keeps the
+                # P_depth inverse-CDF branch live — the training path
+                # always computes it, so the recorded throughput must
+                # include it (rgb+depth alone lets XLA DCE that branch
+                # and flatters the number by ~5%). `outputs=` prunes
+                # everything else BEFORE lax.map stacks tiles into HBM.
+                # the four outputs the training loss consumes: fine rgb
+                # (img_loss) + coarse rgb0 (img_loss0) + depth + P_depth
+                # draws (space carving) — nothing the training step needs
+                # can be DCE'd out of this measurement.
+                out = render_ray_batch(
+                    scene, rc, rays_o + salt * 1e-9 * i + acc * 0.0,
+                    rays_d, 0.1, 10.0, chunk=CHUNK,
+                    outputs=("rgb_map", "rgb0", "depth_map", "pred_hyp"),
+                )
+                consumed = (out["pred_hyp"][0, 0] + out["depth_map"][0]
+                            + out["rgb_map"][0, 0] + out["rgb0"][0, 0])
+                return acc + consumed.astype(jnp.float32), None
 
-    # compile + warmup. NOTE: we materialize outputs to host (np.asarray)
-    # rather than block_until_ready — on remote/tunneled devices execution
-    # can be deferred until data is actually requested, which makes
-    # block-only timings meaningless.
+            acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(k))
+            return acc
+
+        return lambda salt: f(salt, scene, rays_o, rays_d)
+
+    # NOTE: materialize with np.asarray, not block_until_ready — on
+    # remote/tunneled devices execution is deferred until data is
+    # actually requested, which makes block-only timings meaningless.
     import numpy as np
 
-    np.asarray(render(scene, rays_o, rays_d, 0.0)[2])
-    np.asarray(render(scene, rays_o, rays_d, 0.0)[2])
+    ks = (1, 1 + ITERS)
+    times = []
+    for k in ks:
+        fn = make_chain(k)
+        np.asarray(fn(jnp.float32(1.0)))  # compile
+        np.asarray(fn(jnp.float32(2.0)))  # warm
+        t0 = time.perf_counter()
+        reps = 2
+        for r in range(reps):
+            np.asarray(fn(jnp.float32(3.0 + r)))
+        times.append((time.perf_counter() - t0) / reps)
+    dt = (times[1] - times[0]) / (ks[1] - ks[0])
 
-    # accumulate a scalar from each iteration ON DEVICE and fetch once at
-    # the end: the ~78 ms tunnel round-trip is then paid once instead of
-    # per iteration (~10% of each 0.6 s iteration)
-    t0 = time.perf_counter()
-    acc = None
-    for i in range(ITERS):
-        out = render(scene, rays_o, rays_d, 1e-6 * (i + 1))
-        piece = out[2][0, 0] + out[1][0]
-        acc = piece if acc is None else acc + piece
-    np.asarray(acc)
-    dt = time.perf_counter() - t0
-
-    rays_per_sec = BATCH * ITERS / dt
+    rays_per_sec = BATCH / dt
     print(
         json.dumps(
             {

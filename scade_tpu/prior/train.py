@@ -24,6 +24,7 @@ reuses a jitted forward+loss over a (B*mini, ...) batch.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 from typing import Iterable, Optional
 
@@ -262,7 +263,12 @@ def recache_z(model, variables, shifts, tc: PriorTrainConfig, batches, key):
 def make_train_step(model, tc: PriorTrainConfig, opt):
     loss_fn = make_loss_fn(model, tc, train=True)
 
-    @jax.jit
+    # params/batch_stats/opt_state are DONATED: without donation XLA
+    # materializes a second copy of the ~1.4 GB (params + momentum) state
+    # every step — measured +64 ms/step at B=5 bf16 on the chip
+    # (tools/probe_prior_step.py: 301 → 237 ms). Callers must rebind to
+    # the returned state (train_prior.py does).
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def step(params, batch_stats, opt_state, shifts, batch, z, key):
         (total, (loss_dict, _, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True

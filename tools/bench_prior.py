@@ -188,7 +188,7 @@ def ablate_train(args, model, variables, shifts, x, z, timer):
         def make(k):
             @jax.jit
             def f(salt, params0, batch_stats, opt_state, x, target):
-                def loss_fn(p, xx):
+                def run(p, xx):
                     train = mode != "no_bnstats"
                     kwargs = dict(train=train)
                     if train:
@@ -204,15 +204,19 @@ def ablate_train(args, model, variables, shifts, x, z, timer):
                     params, opt_state = carry
                     xx = x + (salt * 1e-9) * i
                     if mode == "dec_only":
-                        p = {
-                            "encoder": jax.tree.map(
-                                jax.lax.stop_gradient, params["encoder"]),
-                            **{k2: v for k2, v in params.items()
-                               if k2 != "encoder"},
-                        }
+                        # differentiate ONLY the non-encoder params: the
+                        # encoder subtree enters as a closed-over constant,
+                        # so its backward is genuinely absent from the
+                        # program (stop_gradient on the value passed INTO
+                        # value_and_grad would not remove it).
+                        enc = params["encoder"]
+                        rest = {k2: v for k2, v in params.items()
+                                if k2 != "encoder"}
+                        loss, grads = jax.value_and_grad(
+                            lambda r, xx: run({"encoder": enc, **r}, xx)
+                        )(rest, xx)
                     else:
-                        p = params
-                    loss, grads = jax.value_and_grad(loss_fn)(p, xx)
+                        loss, grads = jax.value_and_grad(run)(params, xx)
                     if mode == "full":
                         updates, opt_state = tx.update(grads, opt_state,
                                                        params)

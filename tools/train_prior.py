@@ -92,6 +92,7 @@ def main():
 
     if args.precision != "ambient":
         jax.config.update("jax_default_matmul_precision", args.precision)
+    import jax.numpy as jnp
     import numpy as np
     from flax import serialization
 
@@ -266,8 +267,11 @@ def main():
                     shifts, {k2: jnp.asarray(v) for k2, v in batch.items()}, z, k,
                 )
             variables = {"params": params, "batch_stats": batch_stats}
-            epoch_losses.append(float(total))
-        print(f"Epoch {epoch}/{args.epochs}: loss {np.mean(epoch_losses):.5f}")
+            # keep the loss as a device scalar: float() here would force a
+            # tunnel round trip EVERY step (deferred execution, ~40-80 ms)
+            epoch_losses.append(total)
+        print(f"Epoch {epoch}/{args.epochs}: loss "
+              f"{np.asarray(jnp.stack(epoch_losses)).mean():.5f}")
 
         if epoch % 8 == 0 or epoch == args.epochs - 1:
             path = os.path.join(args.log_dir, f"epoch{epoch}_step0.msgpack")
