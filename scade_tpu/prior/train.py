@@ -260,6 +260,18 @@ def recache_z(model, variables, shifts, tc: PriorTrainConfig, batches, key):
     return np.concatenate(selected, 0)
 
 
+def _train_step_body(loss_fn, opt):
+    def step(params, batch_stats, opt_state, shifts, batch, z, key):
+        (total, (loss_dict, _, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params, batch_stats, shifts, batch, z, key)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_stats, opt_state, total, loss_dict
+
+    return step
+
+
 def make_train_step(model, tc: PriorTrainConfig, opt):
     loss_fn = make_loss_fn(model, tc, train=True)
 
@@ -268,13 +280,34 @@ def make_train_step(model, tc: PriorTrainConfig, opt):
     # every step — measured +64 ms/step at B=5 bf16 on the chip
     # (tools/probe_prior_step.py: 301 → 237 ms). Callers must rebind to
     # the returned state (train_prior.py does).
-    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
-    def step(params, batch_stats, opt_state, shifts, batch, z, key):
-        (total, (loss_dict, _, new_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(params, batch_stats, shifts, batch, z, key)
-        updates, opt_state = opt.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, new_stats, opt_state, total, loss_dict
+    return functools.partial(jax.jit, donate_argnums=(0, 1, 2))(
+        _train_step_body(loss_fn, opt)
+    )
+
+
+def make_train_step_dp(model, tc: PriorTrainConfig, opt, mesh):
+    """Data-parallel train step over a `jax.sharding.Mesh`.
+
+    The reference's prior trainer is single-GPU (its torch.distributed
+    helpers are runtime-dead: comm.py world_size pinned 1,
+    tools/train_dataparallel.py:217-219); this is the TPU-native scale-out
+    for prior pretraining: the image batch and the z-codes shard over the
+    mesh's data axis, state replicates, and the program is the SAME global
+    math as `make_train_step` — XLA inserts the gradient/BN psums over ICI,
+    so a DP step is bit-compatible with the single-device step up to
+    reduction order (pinned by tests/test_prior_dp.py). The global batch
+    size must be divisible by the data-axis size."""
+    from scade_tpu.parallel.mesh import DATA_AXIS
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    loss_fn = make_loss_fn(model, tc, train=True)
+    rep = NamedSharding(mesh, P())
+    dat = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.jit(
+        _train_step_body(loss_fn, opt),
+        in_shardings=(rep, rep, rep, rep, dat, dat, rep),
+        donate_argnums=(0, 1, 2),
+    )
 
     return step

@@ -73,6 +73,10 @@ def main():
     ap.add_argument("--small_model", action="store_true",
                     help="tiny ResNeXt variant (tests only)")
     ap.add_argument("--ckpt", default=None, help="resume/finetune checkpoint")
+    ap.add_argument("--data_parallel", action="store_true",
+                    help="shard the image batch (and z-codes) over all "
+                         "devices on a mesh data axis; --batchsize must "
+                         "be divisible by the device count")
     ap.add_argument("--image_size", type=int, default=448)
     ap.add_argument("--precision", default="ambient",
                     choices=["highest", "high", "bfloat16", "tensorfloat32",
@@ -109,6 +113,7 @@ def main():
         load_mean_var_adain,
         make_prior_optimizer,
         make_train_step,
+        make_train_step_dp,
         recache_z,
     )
 
@@ -215,11 +220,23 @@ def main():
 
     opt = make_prior_optimizer(variables["params"], tc)
     opt_state = opt.init(variables["params"])
-    step_fn = make_train_step(model, tc, opt)
+    if args.data_parallel:
+        from scade_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        n_data = mesh.devices.shape[0]
+        if args.batchsize % n_data:
+            raise SystemExit(f"--batchsize {args.batchsize} not divisible "
+                             f"by the {n_data}-device data axis")
+        print(f"data-parallel over {n_data} devices")
+        make_step = lambda o: make_train_step_dp(model, tc, o, mesh)
+    else:
+        make_step = lambda o: make_train_step(model, tc, o)
+    step_fn = make_step(opt)
     if args.pretrain_mlp_epochs > 0:
         pre_opt = make_prior_optimizer(variables["params"], tc, fixed_backbone=True)
         pre_opt_state = pre_opt.init(variables["params"])
-        pre_step_fn = make_train_step(model, tc, pre_opt)
+        pre_step_fn = make_step(pre_opt)
 
     shifts = zero_shifts(cfg)
     mv_path = os.path.join(args.log_dir, "mean_var_adain.npy")
@@ -255,6 +272,9 @@ def main():
             B = batch["rgb"].shape[0]
             z = jnp.asarray(selected_z[idx : idx + B])
             idx += B
+            if args.data_parallel and B % n_data:
+                continue  # drop the uneven remainder batch: the sharded
+                # leading axis must divide the data-axis size
             key, k = jax.random.split(key)
             if args.pretrain_mlp_epochs > 0 and epoch < args.pretrain_mlp_epochs:
                 params, batch_stats, pre_opt_state, total, loss_dict = pre_step_fn(
