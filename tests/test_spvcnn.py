@@ -216,6 +216,21 @@ def test_initial_voxelize_means_points():
                                atol=1e-6)
 
 
+def test_initial_voxelize_pres_vres_rescale():
+    # spvcnn_utils.py:13-14: new coords = (C * init_res) / after_res
+    feats = jnp.asarray([[1.0], [2.0]])
+    fc = jnp.asarray([[3.0, 1.0, 5.0, 0.0], [3.2, 1.2, 5.2, 0.0]])
+    z = SparsePoints(feats, fc, jnp.ones((2,), bool))
+    x, z2 = initial_voxelize(z, init_res=0.5, after_res=1.0)
+    np.testing.assert_allclose(np.asarray(z2.fcoords)[:, :3],
+                               np.asarray(fc)[:, :3] * 0.5, rtol=1e-6)
+    got = {tuple(c[:3]) for c, m in zip(np.asarray(x.coords),
+                                        np.asarray(x.mask)) if m}
+    assert got == {(1, 0, 2)}  # both points land in floor voxel (1,0,2)
+    f = np.asarray(x.feats)[np.asarray(x.mask)]
+    np.testing.assert_allclose(f, [[1.5]], rtol=1e-6)
+
+
 def test_deconv_upsamples_onto_finer_sites():
     rng = np.random.RandomState(5)
     x, _ = _dense_block_sparse(rng, 4, 2)
