@@ -42,7 +42,17 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=65536)
     ap.add_argument("--chunk", type=int, default=8192)
+    ap.add_argument("--slope", action="store_true",
+                    help="chained-scan slope protocol (two chain lengths "
+                         "inside ONE program): removes the ~0.14-0.25 s "
+                         "per-call dispatch latency that the per-call "
+                         "protocol folds into every variant (BASELINE r3 "
+                         "bench section). Per-call stays the default for "
+                         "continuity with earlier recorded attributions.")
+    ap.add_argument("--iters", type=int, default=2)
     args = ap.parse_args()
+    if os.environ.get("SCADE_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["SCADE_PLATFORM"])
 
     from scade_tpu.models.nerf import nerf_init
     from scade_tpu.ops.embedding import positional_encoding
@@ -202,10 +212,47 @@ def main():
         ),
         "mlp_only": mlp_only,
     }
+    def chained(body, k):
+        """k dependent whole-batch renders in ONE program; every returned
+        leaf is consumed (same liveness as the stacked per-call outputs)."""
+
+        @jax.jit
+        def fn(salt, scene, rays_o, rays_d):
+            def chain_body(acc, i):
+                ro = (rays_o + salt * 1e-9 * i + acc * 0.0).reshape(
+                    B // C, C, 3)
+                rd = rays_d.reshape(B // C, C, 3)
+                out = jax.lax.map(lambda a: body(scene, a[0], a[1]),
+                                  (ro, rd))
+                consumed = sum(jnp.sum(l[0, 0]).astype(jnp.float32)
+                               for l in jax.tree.leaves(out))
+                return acc + consumed, None
+
+            acc, _ = jax.lax.scan(chain_body, jnp.float32(0.0),
+                                  jnp.arange(k))
+            return acc
+
+        return fn
+
+    def timeit_slope(body, ks=(1, 3)):
+        ts = []
+        for k in ks:
+            fn = chained(body, k)
+            np.asarray(fn(jnp.float32(1.0), scene, rays_o, rays_d))
+            np.asarray(fn(jnp.float32(2.0), scene, rays_o, rays_d))
+            t0 = time.perf_counter()
+            for r in range(args.iters):
+                np.asarray(fn(jnp.float32(3.0 + r), scene, rays_o, rays_d))
+            ts.append((time.perf_counter() - t0) / args.iters)
+        return (ts[1] - ts[0]) / (ks[1] - ks[0])
+
     results = {}
     for name, body in variants.items():
-        fn = tiled(body)
-        dt = timeit(fn, scene, rays_o, rays_d)
+        if args.slope:
+            dt = timeit_slope(body)
+        else:
+            fn = tiled(body)
+            dt = timeit(fn, scene, rays_o, rays_d)
         results[name] = dt
         print(f"{name:24s} {dt * 1e3:8.1f} ms   {B / dt / 1e3:8.1f}k rays/s",
               flush=True)
