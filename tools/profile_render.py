@@ -50,6 +50,8 @@ def main():
                          "bench section). Per-call stays the default for "
                          "continuity with earlier recorded attributions.")
     ap.add_argument("--iters", type=int, default=2)
+    ap.add_argument("--only", nargs="+", default=None,
+                    help="run only these variant names (substring match)")
     args = ap.parse_args()
     if os.environ.get("SCADE_PLATFORM"):
         jax.config.update("jax_platforms", os.environ["SCADE_PLATFORM"])
@@ -246,6 +248,9 @@ def main():
             ts.append((time.perf_counter() - t0) / args.iters)
         return (ts[1] - ts[0]) / (ks[1] - ks[0])
 
+    if args.only:
+        variants = {n: b for n, b in variants.items()
+                    if any(s in n for s in args.only)}
     results = {}
     for name, body in variants.items():
         if args.slope:
@@ -257,10 +262,11 @@ def main():
         print(f"{name:24s} {dt * 1e3:8.1f} ms   {B / dt / 1e3:8.1f}k rays/s",
               flush=True)
 
-    base = results["full(reassembled)"]
-    print("\nattribution vs full(reassembled):")
-    for name, dt in results.items():
-        print(f"{name:24s} {(base - dt) * 1e3:+7.1f} ms")
+    if "full(reassembled)" in results:
+        base = results["full(reassembled)"]
+        print("\nattribution vs full(reassembled):")
+        for name, dt in results.items():
+            print(f"{name:24s} {(base - dt) * 1e3:+7.1f} ms")
 
 
 if __name__ == "__main__":
