@@ -9,5 +9,11 @@ the space-carving mask, and scaleshift_lr defaults to 1e-5.
 
 from run_scade_scannet import main
 
+
+def main_wild(argv=None):
+    """Console-script entry (`scade-wild`): the wild variant of main()."""
+    main("wild", argv)
+
+
 if __name__ == "__main__":
-    main("wild")
+    main_wild()

@@ -268,8 +268,13 @@ def optimize_camera_embedding(
     emb = jnp.zeros((input_ch_cam,), jnp.float32)
     opt_state = opt.init(emb)
 
+    # best-candidate tracking stays ON DEVICE: fetching the psnr scalar
+    # every step costs a deferred-execution round trip (~40-80 ms) through
+    # the tunnel — steps × images of pure latency. Semantics unchanged:
+    # psnr is scored from the PRE-update loss while the stored embedding
+    # is the POST-update one (matching the host-side loop this replaces).
     @jax.jit
-    def step(emb, opt_state, idx):
+    def step(emb, opt_state, best_emb, best_psnr, idx):
         def loss_fn(emb):
             sv = scene._replace(embedded_cam=emb)
             out = render_rays(
@@ -279,14 +284,19 @@ def optimize_camera_embedding(
 
         loss, grads = jax.value_and_grad(loss_fn)(emb)
         updates, opt_state = opt.update(grads, opt_state, emb)
-        return optax.apply_updates(emb, updates), opt_state, loss
+        new_emb = optax.apply_updates(emb, updates)
+        psnr = mse2psnr(loss)
+        take = psnr > best_psnr
+        best_emb = jnp.where(take, new_emb, best_emb)
+        best_psnr = jnp.maximum(psnr, best_psnr)
+        return new_emb, opt_state, best_emb, best_psnr
 
     rng = np.random.default_rng(0)
-    best_emb, best_psnr = emb, -np.inf
+    best_emb = emb
+    best_psnr = jnp.float32(-np.inf)
     for i in range(steps):
         idx = jnp.asarray(rng.choice(H * W, size=2 * n_rand, replace=False))
-        emb, opt_state, loss = step(emb, opt_state, idx)
-        psnr = float(mse2psnr(loss))
-        if psnr > best_psnr:
-            best_psnr, best_emb = psnr, emb
-    return best_emb
+        emb, opt_state, best_emb, best_psnr = step(
+            emb, opt_state, best_emb, best_psnr, idx
+        )
+    return jnp.asarray(np.asarray(best_emb))
