@@ -286,9 +286,12 @@ def optimize_camera_embedding(
         updates, opt_state = opt.update(grads, opt_state, emb)
         new_emb = optax.apply_updates(emb, updates)
         psnr = mse2psnr(loss)
+        # NaN-safe, matching the host-side `if psnr > best_psnr`: a NaN
+        # psnr is skipped (take=False) rather than poisoning best_psnr
+        # forever (jnp.maximum would propagate it).
         take = psnr > best_psnr
         best_emb = jnp.where(take, new_emb, best_emb)
-        best_psnr = jnp.maximum(psnr, best_psnr)
+        best_psnr = jnp.where(take, psnr, best_psnr)
         return new_emb, opt_state, best_emb, best_psnr
 
     rng = np.random.default_rng(0)

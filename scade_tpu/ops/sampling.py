@@ -204,7 +204,12 @@ def sample_pdf_onehot(bins, weights, u):
 import os as _os
 
 _IMPLS = {"masked": sample_pdf_masked, "onehot": sample_pdf_onehot}
-_DEFAULT_IMPL = _IMPLS[_os.environ.get("SCADE_SAMPLE_PDF", "masked")]
+_ENV_IMPL = _os.environ.get("SCADE_SAMPLE_PDF", "masked")
+if _ENV_IMPL not in _IMPLS:
+    raise ValueError(
+        f"SCADE_SAMPLE_PDF={_ENV_IMPL!r}: expected one of {sorted(_IMPLS)}"
+    )
+_DEFAULT_IMPL = _IMPLS[_ENV_IMPL]
 
 
 def sample_pdf(bins, weights, u):

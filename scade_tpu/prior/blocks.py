@@ -45,14 +45,19 @@ def resize_bilinear_align_corners(x, size):
     upsample on TPU and dominated the prior train-step HBM footprint
     (BASELINE.md r3); the matmul form rides the MXU and fuses. Values
     match the gather form (each output is the same two-term lerp; the
-    zero products contribute exactly 0 in f32).
+    zero products contribute exactly 0 in f32) — precision=HIGHEST pins
+    that equivalence even under jax_default_matmul_precision=bfloat16
+    (the --precision bfloat16 fast path), where ambient precision would
+    round the (1-w, w) weights and activations on the MXU while the
+    gather+lerp form it replaced would not.
     """
     n, h, w, c = x.shape
     oh, ow = size
     R = _interp_matrix(h, oh)  # (oh, h)
     C = _interp_matrix(w, ow)  # (ow, w)
-    top = jnp.einsum("oh,nhwc->nowc", R, x)
-    return jnp.einsum("pw,nowc->nopc", C, top)
+    hp = jax.lax.Precision.HIGHEST
+    top = jnp.einsum("oh,nhwc->nowc", R, x, precision=hp)
+    return jnp.einsum("pw,nowc->nopc", C, top, precision=hp)
 
 
 def upsample_bilinear_align_corners(x, factor: int):

@@ -52,7 +52,10 @@ def dump_depth_hypotheses(
     os.makedirs(out_dir, exist_ok=True)
 
     key = jax.random.PRNGKey(seed)
-    num_sets = max(1, num_hypothesis // mini_batch_size)
+    # ceil: enough z-minibatches to cover num_hypothesis even when it is
+    # not a multiple of mini_batch_size (hyps[:num_hypothesis] trims the
+    # overshoot below)
+    num_sets = -(-num_hypothesis // mini_batch_size)
 
     # variables/shifts are jit ARGUMENTS: closed-over device arrays are
     # baked into the HLO as constants, and the 466 MB ResNeXt params then

@@ -240,6 +240,9 @@ def recache_z(model, variables, shifts, tc: PriorTrainConfig, batches, key):
     """Per-image argmin-loss z over num_samples draws. `batches` yields
     collated dicts; returns (n_images, d_latent) numpy."""
     step = make_recache_step(model, tc)
+    # floor, NOT ceil: the reference recaches over num_sets*mini_batch_size
+    # draws, explicitly flooring ("just take the floor",
+    # train_single.py:276-277) — parity keeps that law here
     num_sets = tc.num_samples // tc.mini_batch_size
     selected = []
     for batch in batches:
@@ -309,5 +312,3 @@ def make_train_step_dp(model, tc: PriorTrainConfig, opt, mesh):
         in_shardings=(rep, rep, rep, rep, dat, dat, rep),
         donate_argnums=(0, 1, 2),
     )
-
-    return step

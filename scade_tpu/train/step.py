@@ -68,10 +68,11 @@ class TrainConfig:
     # (select_coordinates, run_nerf_helpers.py:279-283) lowers on TPU to a
     # full H*W random permutation — a 292k-element sort that was measured
     # at ~49 ms/step, ~80% of the whole train step (BASELINE.md r3).
-    #   "stratified": one uniform pixel per contiguous H*W/n_rand stratum —
-    #       O(n_rand), distinct by construction, identical per-pixel
-    #       marginals (n_rand/HW); only the joint law differs (documented,
-    #       PARITY.md §known deviations).
+    #   "stratified": one uniform pixel per contiguous ~H*W/n_rand stratum
+    #       (integer boundaries) — O(n_rand), distinct by construction,
+    #       per-pixel marginals n_rand/HW up to the ±1 stratum-size
+    #       remainder (exact when n_rand | H*W); only the joint law
+    #       differs (documented, PARITY.md §known deviations).
     #   "choice": the reference's exact uniform-without-replacement law.
     #   "iid": with replacement (≈1.8 expected duplicate pixels per step).
     pixel_sampling: str = "stratified"
@@ -194,27 +195,37 @@ def _edge_mask(rows, cols, H: int, W: int, n_pix: int = 10):
     return jnp.where(jnp.logical_or(in_r, in_c), 0.0, 1.0)
 
 
+def select_pixels(k_pix, H: int, W: int, tc: TrainConfig):
+    """Per-step ray-pixel ids (select_coordinates,
+    run_nerf_helpers.py:279-283); see TrainConfig.pixel_sampling for why
+    stratified is the default on TPU."""
+    if tc.pixel_sampling == "choice":
+        return jax.random.choice(k_pix, H * W, (tc.n_rand,), replace=False)
+    if tc.pixel_sampling == "iid":
+        return jax.random.randint(k_pix, (tc.n_rand,), 0, H * W)
+    # stratified
+    u = jax.random.uniform(k_pix, (tc.n_rand,), dtype=jnp.float32)
+    # Integer stratum boundaries, host-computed exactly: stratum i
+    # covers [b[i], b[i+1]), disjoint and non-empty for n_rand <= H*W,
+    # so the n_rand picks are distinct by construction even when
+    # H*W % n_rand != 0 (the float-stride form floor((i+u)*s) could
+    # duplicate across a non-integral boundary). Stratum sizes differ
+    # by at most one, so the per-pixel marginal varies by at most
+    # ceil(s)/floor(s); exactly uniform — and bitwise identical to
+    # the float-stride form — when n_rand divides H*W.
+    b = np.arange(tc.n_rand + 1, dtype=np.int64) * (H * W) // tc.n_rand
+    lo = jnp.asarray(b[:-1], jnp.int32)
+    size = jnp.asarray(b[1:] - b[:-1], jnp.float32)
+    return lo + (u * size).astype(jnp.int32)
+
+
 def sample_ray_batch(key, scene: SceneTensors, H: int, W: int, n_train: int, tc: TrainConfig):
     """On-device batch gather (reference
     get_ray_batch_from_one_image_hypothesis_idx, run_scade_scannet.py:772-828).
     Returns (rays_o, rays_d, target_s, target_h, sc_mask, img_i)."""
     k_img, k_pix = jax.random.split(key)
     img_i = jax.random.randint(k_img, (), 0, n_train)
-    # pixel choice (select_coordinates, run_nerf_helpers.py:279-283); see
-    # TrainConfig.pixel_sampling for why stratified is the default on TPU
-    if tc.pixel_sampling == "choice":
-        pix = jax.random.choice(k_pix, H * W, (tc.n_rand,), replace=False)
-    elif tc.pixel_sampling == "iid":
-        pix = jax.random.randint(k_pix, (tc.n_rand,), 0, H * W)
-    else:  # stratified
-        u = jax.random.uniform(k_pix, (tc.n_rand,), dtype=jnp.float32)
-        stride = (H * W) / tc.n_rand
-        pix = jnp.minimum(
-            ((jnp.arange(tc.n_rand, dtype=jnp.float32) + u) * stride).astype(
-                jnp.int32
-            ),
-            H * W - 1,
-        )
+    pix = select_pixels(k_pix, H, W, tc)
     rows = pix // W
     cols = pix % W
     coords = jnp.stack([rows, cols], axis=-1).astype(jnp.float32)

@@ -78,13 +78,16 @@ def test_prior_to_nerf_pipeline(tmp_path):
 
     data_mod.FinetuneDataset.__init__ = small_init
     try:
+        # num_hypothesis=3 with mini_batch_size=2 regression-covers the
+        # ceil num_sets fix (r3 review): integer division under-generated
+        # (2 of 3 hypotheses) for non-multiple K
         out_dir = dump_depth_hypotheses(
             model, variables, shifts, str(scene), "prior_dump",
-            d_latent=8, num_hypothesis=2, mini_batch_size=2,
+            d_latent=8, num_hypothesis=3, mini_batch_size=2,
         )
     finally:
         data_mod.FinetuneDataset.__init__ = orig_init
-    assert len(os.listdir(out_dir)) == 4  # 2 images x 2 hypotheses
+    assert len(os.listdir(out_dir)) == 6  # 2 images x 3 hypotheses
 
     # --- 3. NeRF training consumes the prior's hypotheses -----------------
     from run_scade_scannet import main
@@ -94,7 +97,7 @@ def test_prior_to_nerf_pipeline(tmp_path):
         "--ckpt_dir", str(tmp_path / "ckpt"), "--expname", "pipe",
         "--num_iterations", "6", "--N_rand", "64", "--i_weights", "6",
         "--i_img", "1000000", "--i_print", "1000000",
-        "--cimle_dir", "prior_dump", "--num_hypothesis", "2",
+        "--cimle_dir", "prior_dump", "--num_hypothesis", "3",
         "--N_samples", "8", "--N_importance", "16", "--multires", "4",
         "--chunk", "2048",
     ])

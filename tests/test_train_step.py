@@ -103,34 +103,19 @@ def test_warm_start_gates_space_carving(rng):
 def test_pixel_sampling_modes(rng):
     """stratified: distinct in-range pixels, one per stratum, uniform
     marginals; choice: the reference's exact no-replacement law."""
-    from scade_tpu.train.step import sample_ray_batch
+    from scade_tpu.train.step import sample_ray_batch, select_pixels
 
     scene = tiny_scene(rng)
     for mode in ("stratified", "choice", "iid"):
         tc = TrainConfig(n_rand=32, pixel_sampling=mode)
-
-        def pix_of(key):
-            # re-derive the pixel ids from the gathered targets is awkward;
-            # call the sampler's internals by reproducing its key split
-            k_img, k_pix = jax.random.split(key)
-            if mode == "choice":
-                return jax.random.choice(k_pix, H * W, (32,), replace=False)
-            if mode == "iid":
-                return jax.random.randint(k_pix, (32,), 0, H * W)
-            u = jax.random.uniform(k_pix, (32,), dtype=jnp.float32)
-            return jnp.minimum(
-                ((jnp.arange(32, dtype=jnp.float32) + u) * (H * W / 32)).astype(
-                    jnp.int32
-                ),
-                H * W - 1,
-            )
 
         out = sample_ray_batch(jax.random.PRNGKey(3), scene, H, W, N_TRAIN, tc)
         rays_o, rays_d, target_s, target_h = out[:4]
         assert rays_o.shape == (32, 3) and target_s.shape == (32, 3)
         assert target_h.shape == (K, 32, 1)
 
-        pix = np.asarray(pix_of(jax.random.PRNGKey(3)))
+        _, k_pix = jax.random.split(jax.random.PRNGKey(3))
+        pix = np.asarray(select_pixels(k_pix, H, W, tc))
         assert pix.min() >= 0 and pix.max() < H * W
         if mode != "iid":
             assert len(np.unique(pix)) == 32, mode
@@ -143,20 +128,29 @@ def test_pixel_sampling_modes(rng):
     hits = np.zeros(H * W)
     tcs = TrainConfig(n_rand=32, pixel_sampling="stratified")
     for i in range(200):
-        k_img, k_pix = jax.random.split(jax.random.PRNGKey(i))
-        u = jax.random.uniform(k_pix, (32,), dtype=jnp.float32)
-        pix = np.asarray(
-            jnp.minimum(
-                ((jnp.arange(32, dtype=jnp.float32) + u) * (H * W / 32)).astype(
-                    jnp.int32
-                ),
-                H * W - 1,
-            )
-        )
-        hits[pix] += 1
+        _, k_pix = jax.random.split(jax.random.PRNGKey(i))
+        hits[np.asarray(select_pixels(k_pix, H, W, tcs))] += 1
     # E[hits] = 200*32/256 = 25; a loose 5-sigma band
     assert hits.min() > 25 - 5 * np.sqrt(25)
     assert hits.max() < 25 + 5 * np.sqrt(25)
+
+
+def test_stratified_distinct_nonintegral_stride():
+    """H*W % n_rand != 0 (stride 9.375 here): the integer-boundary strata
+    must still yield n_rand DISTINCT in-range pixels, each inside its own
+    stratum — the float-stride form could duplicate across a non-integral
+    boundary (review r3 finding)."""
+    from scade_tpu.train.step import select_pixels
+
+    Hn, Wn, n = 15, 20, 32  # 300 pixels, stride 9.375
+    tc = TrainConfig(n_rand=n, pixel_sampling="stratified")
+    b = np.arange(n + 1, dtype=np.int64) * (Hn * Wn) // n
+    for i in range(50):
+        pix = np.asarray(select_pixels(jax.random.PRNGKey(i), Hn, Wn, tc))
+        assert pix.shape == (n,)
+        assert pix.min() >= 0 and pix.max() < Hn * Wn
+        assert len(np.unique(pix)) == n, f"duplicates at key {i}"
+        assert (pix >= b[:-1]).all() and (pix < b[1:]).all()
 
 
 def test_staircase_lr():

@@ -86,7 +86,9 @@ def main():
 
     os.makedirs(args.out_dir, exist_ok=True)
     key = jax.random.PRNGKey(args.seed_num)
-    num_sets = max(1, args.num_hypothesis // args.mini_batch_size)
+    # ceil: cover num_hypothesis even when not a multiple of the z
+    # minibatch (the k_i break below trims the overshoot)
+    num_sets = -(-args.num_hypothesis // args.mini_batch_size)
     S = args.image_size
 
     @jax.jit

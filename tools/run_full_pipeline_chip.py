@@ -18,6 +18,7 @@ Usage:
 import argparse
 import json
 import os
+import re
 import subprocess
 import sys
 import time
@@ -103,7 +104,11 @@ def main():
         with stage("prior_train (AdaIn init + z-recache + SGD epochs)"):
             sh([py, "tools/train_prior.py"] + prior_flags, env=env)
 
-    ckpts = sorted(f for f in os.listdir(log_dir) if f.endswith(".msgpack"))
+    # numeric epoch sort: lexicographic would rank epoch8 above epoch59
+    ckpts = sorted(
+        (f for f in os.listdir(log_dir) if f.endswith(".msgpack")),
+        key=lambda f: [int(n) for n in re.findall(r"\d+", f)],
+    )
     assert ckpts, f"no prior ckpt under {log_dir}"
     ckpt = os.path.join(log_dir, ckpts[-1])
     mean_var = os.path.join(log_dir, "mean_var_adain.npy")
