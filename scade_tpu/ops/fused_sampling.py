@@ -130,11 +130,9 @@ def _lookup(cdf, bins, u, block_rays: int = 256):
     return out[:R]
 
 
-def _cdf_of(weights):
-    weights = weights + 1e-5
-    pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
-    cdf = jnp.cumsum(pdf, axis=-1)
-    return jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)
+# single source of truth for the CDF construction: the forward must match
+# the jnp backward (computed via _ref.sample_pdf) bit-for-bit
+_cdf_of = _ref._cdf_from_weights
 
 
 @jax.custom_vjp

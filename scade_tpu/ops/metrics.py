@@ -3,14 +3,19 @@
 SSIM replicates skimage.metrics.structural_similarity with its SCADE-call
 defaults (reference run_scade_scannet.py:370: ``data_range=1.,
 channel_axis=-1``): 7x7 uniform window, K1=0.01/K2=0.03, sample covariance,
-per-channel mean. Implemented as VALID-window box filters so results equal
-skimage's crop-then-mean exactly.
+per-channel mean. Implemented as VALID-window box filters matching
+skimage's crop-then-mean; skimage computes in float64 internally, so with
+f32 inputs (x64 disabled) agreement is to f32 windowed-sum precision
+(~1e-6 absolute on SSIM), validated in tests/test_ssim.py.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+from scade_tpu.ops.losses import mse2psnr
 
 
 def to8b(x: np.ndarray) -> np.ndarray:
@@ -30,23 +35,29 @@ def compute_rmse(prediction, target, mask=None):
     return jnp.sqrt(se / jnp.maximum(jnp.sum(m), 1.0))
 
 
-def psnr_from_mse(mse):
-    return -10.0 * jnp.log(mse) / jnp.log(10.0)
+# alias of losses.mse2psnr — one definition, two reference-parity names
+psnr_from_mse = mse2psnr
 
 
 def _box_filter_valid(img, win: int):
-    """Mean over win x win windows, VALID padding. img: (H, W) or (H, W, C)."""
-    # separable box filter via cumulative sums: O(HW) independent of win
+    """Mean over win x win windows, VALID padding. img: (H, W) or (H, W, C).
+
+    Separable direct windowed sums (lax.reduce_window): each 1-D pass sums
+    only ``win`` elements, so there is no cumsum-style catastrophic
+    cancellation on megapixel images — window error stays at ~ulp(win·|x|)
+    instead of ~ulp(sum over the whole image).
+    """
     def box1d(x, axis):
-        c = jnp.cumsum(x, axis=axis)
-        pad = [(0, 0)] * x.ndim
-        pad[axis] = (1, 0)
-        c = jnp.pad(c, pad)
-        lead = [slice(None)] * x.ndim
-        trail = [slice(None)] * x.ndim
-        lead[axis] = slice(win, None)
-        trail[axis] = slice(0, -win)
-        return c[tuple(lead)] - c[tuple(trail)]
+        window = [1] * x.ndim
+        window[axis] = win
+        return jax.lax.reduce_window(
+            x,
+            jnp.zeros((), x.dtype),
+            jax.lax.add,
+            tuple(window),
+            (1,) * x.ndim,
+            "VALID",
+        )
 
     s = box1d(box1d(img, 0), 1)
     return s / (win * win)

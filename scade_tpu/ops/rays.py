@@ -12,6 +12,7 @@ the full image grid every step like the reference does.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -52,8 +53,13 @@ def get_ray_dirs(H: int, W: int, intrinsic, c2w, coords=None) -> jnp.ndarray:
     else:
         ii, jj = coords[..., 1], coords[..., 0]
     dirs = _dirs_from_pixels(ii, jj, H, intrinsic)
-    # rotate camera → world: rays_d[k] = sum_l dirs[l] * c2w[k, l]
-    return dirs @ c2w[:3, :3].T
+    # rotate camera → world: rays_d[k] = sum_l dirs[l] * c2w[k, l].
+    # precision=HIGHEST: the reference computes this as an f32 elementwise
+    # sum-product (run_nerf_helpers.py:298); a DEFAULT-precision dot on TPU
+    # would truncate dirs/c2w to bf16 (~2-3 px misprojection at image edges).
+    return jnp.einsum(
+        "...l,kl->...k", dirs, c2w[:3, :3], precision=jax.lax.Precision.HIGHEST
+    )
 
 
 def get_rays(H: int, W: int, intrinsic, c2w, coords=None):

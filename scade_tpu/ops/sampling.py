@@ -92,14 +92,19 @@ def merge_sorted(a, b, va=None, vb=None):
     ks = jnp.arange(s, dtype=jnp.int32)
     oa = (ra[..., :, None] == ks).astype(a.dtype)  # (..., Na, S)
     ob = (rb[..., :, None] == ks).astype(b.dtype)  # (..., Nb, S)
-    merged = jnp.einsum("...is,...i->...s", oa, a) + jnp.einsum(
-        "...js,...j->...s", ob, b
+    # precision=HIGHEST: one-hot selection must pass f32 values through
+    # exactly — TPU DEFAULT precision would truncate the z/payload operand
+    # to bf16 on the MXU, quantizing sample positions (same requirement as
+    # sample_pdf_onehot below)
+    hp = jax.lax.Precision.HIGHEST
+    merged = jnp.einsum("...is,...i->...s", oa, a, precision=hp) + jnp.einsum(
+        "...js,...j->...s", ob, b, precision=hp
     )
     if va is None:
         return merged
-    vals = jnp.einsum("...is,...ic->...sc", oa.astype(va.dtype), va) + jnp.einsum(
-        "...js,...jc->...sc", ob.astype(vb.dtype), vb
-    )
+    vals = jnp.einsum(
+        "...is,...ic->...sc", oa.astype(va.dtype), va, precision=hp
+    ) + jnp.einsum("...js,...jc->...sc", ob.astype(vb.dtype), vb, precision=hp)
     return merged, vals
 
 

@@ -47,9 +47,22 @@ class RenderConfig:
     is_joint: bool = False
     use_viewdirs: bool = True
     embed_pos: Embedder = dataclasses.field(default_factory=lambda: Embedder(num_freqs=9, max_freq_log2=8.0))
-    embed_dirs: Optional[Embedder] = None
-    nerf_coarse: NeRFConfig = dataclasses.field(default_factory=NeRFConfig)
-    nerf_fine: Optional[NeRFConfig] = dataclasses.field(default_factory=NeRFConfig)
+    # default matches get_embedder(multires_views=0): identity-only encoding,
+    # so a bare RenderConfig() is self-consistent with use_viewdirs=True
+    # (embed_dirs=None is only valid when use_viewdirs=False)
+    embed_dirs: Optional[Embedder] = dataclasses.field(
+        default_factory=lambda: Embedder(num_freqs=0, max_freq_log2=-1.0)
+    )
+    # MLP input widths must match the default embedders above
+    # (embed_pos.out_dim = 57, embed_dirs.out_dim = 3) — a bare
+    # RenderConfig() renders; make_render_config() keeps them in sync
+    # for every other flag combination
+    nerf_coarse: NeRFConfig = dataclasses.field(
+        default_factory=lambda: NeRFConfig(input_ch=57, input_ch_views=3, output_ch=5)
+    )
+    nerf_fine: Optional[NeRFConfig] = dataclasses.field(
+        default_factory=lambda: NeRFConfig(input_ch=57, input_ch_views=3, output_ch=5)
+    )
     input_ch_cam: int = 0
     # evaluate PE+MLP with the fused Pallas kernel (ops/fused_mlp.py) when
     # the architecture is supported; ignored otherwise
@@ -198,7 +211,10 @@ def render_rays(
     if not rc.use_viewdirs:
         viewdirs = None
 
-    det = not rc.perturb
+    # key=None is the documented fully-deterministic path even when the
+    # config says perturb: the u draws must fall back to linspace (det)
+    # exactly like the jitter/noise paths guard on key is None below
+    det = (not rc.perturb) or key is None
     if key is not None:
         k_perturb, k_noise0, k_imp, k_noise1, k_out = jax.random.split(key, 5)
     else:
@@ -352,6 +368,19 @@ def render_ray_batch(
     ro = ro.reshape(n_tiles, chunk, 3)
     rd = rd.reshape(n_tiles, chunk, 3)
 
+    def per_ray(x):
+        # normalize scalar / (N,) / (N, 1) near-far to tiled (n_tiles, chunk, 1)
+        # so per-ray bounds (reference render(): "near: float or array of
+        # shape [batch_size]") survive the chunking
+        x = jnp.asarray(x, dtype=ro.dtype)
+        if x.ndim <= 1:
+            x = x.reshape(-1, 1)
+        x = jnp.broadcast_to(x, (n, 1))
+        x = jnp.pad(x, ((0, pad), (0, 0)), mode="edge")
+        return x.reshape(n_tiles, chunk, 1)
+
+    nr, fr = per_ray(near), per_ray(far)
+
     if key is not None:
         keys = jax.random.split(key, n_tiles)
     else:
@@ -359,16 +388,18 @@ def render_ray_batch(
 
     def tile(args):
         if keys is None:
-            tro, trd = args
+            tro, trd, tnr, tfr = args
             tkey = None
         else:
-            tro, trd, tkey = args
-        out = render_rays(scene, rc, tro, trd, near, far, key=tkey)
+            tro, trd, tnr, tfr, tkey = args
+        out = render_rays(scene, rc, tro, trd, tnr, tfr, key=tkey)
         if outputs is not None:
             out = {k: out[k] for k in outputs}
         return out
 
-    out = jax.lax.map(tile, (ro, rd) if keys is None else (ro, rd, keys))
+    out = jax.lax.map(
+        tile, (ro, rd, nr, fr) if keys is None else (ro, rd, nr, fr, keys)
+    )
     return jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:])[:n], out)
 
 
