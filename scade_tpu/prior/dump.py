@@ -39,6 +39,7 @@ def dump_depth_hypotheses(
     save_previews: bool = False,
     sfm_scaling_factor: float = 1000.0,
     sfm_far_clip: Optional[float] = None,
+    compute_dtype: Optional[str] = None,
 ):
     """Write K aligned hypothesis .npy files per train image. Returns the
     output directory."""
@@ -62,8 +63,21 @@ def dump_depth_hypotheses(
     # overflow the axon tunnel's remote_compile request (HTTP 413).
     @jax.jit
     def infer(variables, shifts, rgb, z):
+        if compute_dtype is not None:
+            # full reduced-precision inference: params AND activations in
+            # compute_dtype (halves HBM traffic vs the matmul-precision-only
+            # fast path; eval-mode BN is a scale/shift, and the SfM polyfit
+            # realigns every hypothesis downstream, so hypothesis diversity
+            # — not low-order depth bits — is what survives)
+            cd = jnp.dtype(compute_dtype)
+            cast = lambda t: jax.tree.map(
+                lambda a: a.astype(cd)
+                if jnp.issubdtype(a.dtype, jnp.floating) else a, t)
+            variables, shifts, rgb, z = (
+                cast(variables), cast(shifts), cast(rgb), cast(z))
         rgb_rep = jnp.repeat(rgb, mini_batch_size, axis=0)
-        return prior_apply(model, variables, shifts, rgb_rep, z)
+        out = prior_apply(model, variables, shifts, rgb_rep, z)
+        return out.astype(jnp.float32)
 
     for idx in range(len(ds)):
         ex = ds[idx]

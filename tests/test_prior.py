@@ -256,3 +256,22 @@ def test_dump_tool_on_synthetic_scene(tmp_path, small_model):
     hyp = np.load(os.path.join(out, files[0]))
     assert hyp.shape == (48, 64)
     assert np.isfinite(hyp).all()
+
+    # the full-bf16 fast path (params + activations in bf16) must produce
+    # hypotheses that track the f32 ones: same RNG draws, SfM-aligned the
+    # same way, so only low-order depth bits may move
+    FinetuneDataset.__init__ = small_init
+    try:
+        out16 = dump_depth_hypotheses(
+            model, variables, zero_shifts(SMALL), str(scene), "dump_bf16",
+            d_latent=8, num_hypothesis=2, mini_batch_size=2,
+            compute_dtype="bfloat16",
+        )
+    finally:
+        FinetuneDataset.__init__ = orig_init
+    for f in files:
+        a = np.load(os.path.join(out, f))
+        b = np.load(os.path.join(out16, f))
+        assert np.isfinite(b).all()
+        denom = np.abs(a).mean() + 1e-6
+        assert np.abs(a - b).mean() / denom < 0.05, f

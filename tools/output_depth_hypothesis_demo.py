@@ -91,8 +91,11 @@ def main():
     num_sets = -(-args.num_hypothesis // args.mini_batch_size)
     S = args.image_size
 
+    # variables/shifts are jit ARGUMENTS: closed-over device arrays get
+    # baked into the HLO as constants, and the 466 MB production model then
+    # overflows the axon tunnel's remote_compile request (HTTP 413)
     @jax.jit
-    def infer(rgb, z):
+    def infer(variables, shifts, rgb, z):
         rgb_rep = jnp.repeat(rgb, args.mini_batch_size, axis=0)
         return prior_apply(model, variables, shifts, rgb_rep, z)
 
@@ -113,7 +116,8 @@ def main():
             z = jax.random.normal(
                 k, (args.mini_batch_size, args.d_latent), jnp.float32
             )
-            depth = np.asarray(infer(jnp.asarray(rgb_n), z))[..., 0]
+            depth = np.asarray(
+                infer(variables, shifts, jnp.asarray(rgb_n), z))[..., 0]
             for d in depth:
                 if k_i >= args.num_hypothesis:
                     break

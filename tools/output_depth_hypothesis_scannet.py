@@ -54,6 +54,11 @@ def main():
                          "SfM polyfit realigns every hypothesis, and the "
                          "reference itself runs TF32 on Ampere); 'highest' "
                          "restores exact f32")
+    ap.add_argument("--compute_dtype", default=None,
+                    choices=["bfloat16", "float32"],
+                    help="run the WHOLE forward (params + activations) in "
+                         "this dtype — bfloat16 halves HBM traffic on top "
+                         "of --precision bfloat16's MXU fast path")
     args = ap.parse_args()
 
     if os.environ.get("SCADE_PLATFORM"):
@@ -107,6 +112,7 @@ def main():
         seed=args.seed_num, save_previews=args.save_previews,
         sfm_scaling_factor=args.sfm_scaling_factor,
         sfm_far_clip=args.sfm_far_clip,
+        compute_dtype=args.compute_dtype,
     )
     print(f"hypotheses written to {out}")
 
