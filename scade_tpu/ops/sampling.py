@@ -133,23 +133,7 @@ def sample_pdf_masked(bins, weights, u):
     le[..., 0] is always True (cdf[0] = 0 <= u), so the "below" reductions
     never see an empty mask.
     """
-    cdf = _cdf_from_weights(weights)
-    le = cdf[..., None, :] <= u[..., :, None]  # (..., S, M)
-    cdf_b = jnp.broadcast_to(cdf[..., None, :], le.shape)
-    bins_b = jnp.broadcast_to(bins[..., None, :], le.shape)
-
-    neg = jnp.float32(-jnp.inf)
-    cdf_below = jnp.max(jnp.where(le, cdf_b, neg), axis=-1)
-    bins_below = jnp.max(jnp.where(le, bins_b, neg), axis=-1)
-    cdf_above = jnp.min(
-        jnp.where(le, jnp.broadcast_to(cdf[..., None, -1:], le.shape), cdf_b),
-        axis=-1,
-    )
-    bins_above = jnp.min(
-        jnp.where(le, jnp.broadcast_to(bins[..., None, -1:], le.shape), bins_b),
-        axis=-1,
-    )
-    return _interp(u, cdf_below, cdf_above, bins_below, bins_above)
+    return _lookup_masked(bins, _cdf_from_weights(weights), u)
 
 
 def sample_pdf_onehot(bins, weights, u):
@@ -200,6 +184,103 @@ def sample_pdf_onehot(bins, weights, u):
     return _interp(u, lo[..., 0], hi[..., 0], lo[..., 1], hi[..., 1])
 
 
+def sample_pdf_bucketed(bins, weights, u, bucket: int = 16):
+    """Two-level (bucketed) inverse CDF — same values as
+    ``sample_pdf_masked``, with the O(S·M) compare tile split-factored.
+
+    Level 1 ranks each draw against the G = ceil(M/bucket) bucket-leading
+    CDF values (an (S, G) compare) and one-hot-selects that bucket's
+    2·bucket-wide window [bucket g, bucket g+1] of cdf/bins values via two
+    MXU matmuls (exact f32 pass-through at precision HIGHEST). Level 2
+    runs the masked compare+select+reduce on the (S, 2·bucket) window
+    instead of the full (S, M) tile. For SCADE's P_depth site (M = 191,
+    reference run_scade_scannet.py:726-730) this cuts the VPU tile from
+    191 lanes-columns to 32.
+
+    Why the window provably contains both lookups: with g* = the last
+    bucket whose leading cdf is <= u, every element of later buckets
+    exceeds u (ascending), so the global last-true position p lies in
+    bucket g*, and the first-false position p+1 lies in g* or g*+1.
+    Padding uses FINITE sentinels (cdf 2.0 > any u; bins: the last real
+    bin) because one-hot matmuls NaN-poison on 0·inf; sentinel entries
+    compare false and lose every min/max against real candidates, and the
+    all-true fallback row resolves to the same cdf_last/bins_last fill as
+    the masked form. Values are bit-identical (pinned by tests); falls
+    back to ``sample_pdf_masked`` when M <= 2·bucket (no tile to save).
+    """
+    cdf = _cdf_from_weights(weights)
+    m = cdf.shape[-1]
+    if m <= 2 * bucket:
+        return _lookup_masked(bins, cdf, u)
+    g = -(-m // bucket)
+    mp = g * bucket
+    pad = mp + bucket - m
+    lead = cdf.shape[:-1]
+    cdf_last = cdf[..., -1:]
+    bins_last = bins[..., -1:]
+    cdf_p = jnp.concatenate(
+        [cdf, jnp.full(lead + (pad,), 2.0, cdf.dtype)], axis=-1
+    )
+    bins_p = jnp.concatenate(
+        [bins, jnp.broadcast_to(bins_last, lead + (pad,))], axis=-1
+    )
+
+    def windows(xp):
+        a = xp[..., :mp].reshape(lead + (g, bucket))
+        b = xp[..., bucket:mp + bucket].reshape(lead + (g, bucket))
+        return jnp.concatenate([a, b], axis=-1)  # (..., G, 2B)
+
+    cw = windows(cdf_p)
+    bw = windows(bins_p)
+    first = cw[..., :, 0]  # (..., G) leading cdf of each bucket
+    # rank in [0, G-1]: first[0] = cdf[0] = 0 <= u always
+    rank = jnp.sum(
+        (first[..., None, :] <= u[..., :, None]).astype(jnp.int32), axis=-1
+    ) - 1
+    onehot = (rank[..., :, None] == jnp.arange(g, dtype=jnp.int32)).astype(
+        cdf.dtype
+    )  # (..., S, G)
+    hp = jax.lax.Precision.HIGHEST
+    sel_cdf = jnp.einsum("...sg,...gk->...sk", onehot, cw, precision=hp)
+    sel_bins = jnp.einsum("...sg,...gk->...sk", onehot, bw, precision=hp)
+
+    le = sel_cdf <= u[..., :, None]  # (..., S, 2B)
+    neg = jnp.float32(-jnp.inf)
+    cdf_below = jnp.max(jnp.where(le, sel_cdf, neg), axis=-1)
+    bins_below = jnp.max(jnp.where(le, sel_bins, neg), axis=-1)
+    cdf_above = jnp.min(
+        jnp.where(le, jnp.broadcast_to(cdf_last[..., None, :], le.shape),
+                  sel_cdf),
+        axis=-1,
+    )
+    bins_above = jnp.min(
+        jnp.where(le, jnp.broadcast_to(bins_last[..., None, :], le.shape),
+                  sel_bins),
+        axis=-1,
+    )
+    return _interp(u, cdf_below, cdf_above, bins_below, bins_above)
+
+
+def _lookup_masked(bins, cdf, u):
+    """sample_pdf_masked's body from a precomputed cdf (shared by the
+    bucketed fallback so the CDF isn't built twice)."""
+    le = cdf[..., None, :] <= u[..., :, None]
+    cdf_b = jnp.broadcast_to(cdf[..., None, :], le.shape)
+    bins_b = jnp.broadcast_to(bins[..., None, :], le.shape)
+    neg = jnp.float32(-jnp.inf)
+    cdf_below = jnp.max(jnp.where(le, cdf_b, neg), axis=-1)
+    bins_below = jnp.max(jnp.where(le, bins_b, neg), axis=-1)
+    cdf_above = jnp.min(
+        jnp.where(le, jnp.broadcast_to(cdf[..., None, -1:], le.shape), cdf_b),
+        axis=-1,
+    )
+    bins_above = jnp.min(
+        jnp.where(le, jnp.broadcast_to(bins[..., None, -1:], le.shape), bins_b),
+        axis=-1,
+    )
+    return _interp(u, cdf_below, cdf_above, bins_below, bins_above)
+
+
 # The default implementation used by the renderer; SCADE_SAMPLE_PDF=onehot
 # flips it for A/B profiling. Measured on-chip (BASELINE.md r3): identical
 # at train scale (22.3 vs 22.8 ms/step); at full-render scale the masked
@@ -208,7 +289,11 @@ def sample_pdf_onehot(bins, weights, u):
 # must hit HBM for the MXU (~1.6 GB per 8192-ray chunk).
 import os as _os
 
-_IMPLS = {"masked": sample_pdf_masked, "onehot": sample_pdf_onehot}
+_IMPLS = {
+    "masked": sample_pdf_masked,
+    "onehot": sample_pdf_onehot,
+    "bucketed": sample_pdf_bucketed,
+}
 _ENV_IMPL = _os.environ.get("SCADE_SAMPLE_PDF", "masked")
 if _ENV_IMPL not in _IMPLS:
     raise ValueError(

@@ -128,6 +128,47 @@ def test_sample_pdf_onehot_masked_bit_identical():
     np.testing.assert_array_equal(a, b)
 
 
+def test_sample_pdf_bucketed_bit_identical():
+    """The two-level bucketed inverse CDF must match the masked form
+    bitwise at the shapes that matter: the P_depth site (M = 192 bins over
+    the merged 64+128 z's) and the importance site (M = 63), plus
+    non-multiple-of-bucket M, the all-true u=1.0 row, degenerate weights,
+    and gradients."""
+    import jax
+
+    from scade_tpu.ops.sampling import sample_pdf_bucketed, sample_pdf_masked
+
+    key = jax.random.key(7)
+    for m, s_draws in ((192, 128), (191, 128), (63, 128), (100, 37), (17, 5)):
+        k1, k2, k3, key = jax.random.split(key, 4)
+        n = 33
+        bins = jnp.sort(jax.random.uniform(k1, (n, m), minval=0.5, maxval=6.0),
+                        axis=-1)
+        weights = jax.random.uniform(k2, (n, m - 1)) ** 2
+        # zero out some rows' weights to exercise the 1e-5-floor path
+        weights = weights.at[:3].set(0.0)
+        for u in (
+            jax.random.uniform(k3, (n, s_draws)),
+            jnp.broadcast_to(jnp.linspace(0.0, 1.0, s_draws), (n, s_draws)),
+        ):
+            a = np.asarray(sample_pdf_masked(bins, weights, u))
+            b = np.asarray(sample_pdf_bucketed(bins, weights, u))
+            np.testing.assert_array_equal(a, b, err_msg=f"M={m}")
+
+        u = jax.random.uniform(k3, (n, s_draws))
+        ga = jax.grad(lambda w: jnp.sum(sample_pdf_masked(bins, w, u) ** 2))(
+            weights
+        )
+        gb = jax.grad(lambda w: jnp.sum(sample_pdf_bucketed(bins, w, u) ** 2))(
+            weights
+        )
+        ga, gb = np.asarray(ga), np.asarray(gb)
+        np.testing.assert_allclose(
+            ga, gb, rtol=2e-5, atol=1e-5 * max(np.abs(ga).max(), 1e-30),
+            err_msg=f"M={m}",
+        )
+
+
 def test_sample_pdf_monotone_bounds():
     g = load_golden("sample_pdf")
     s = np.asarray(
