@@ -64,9 +64,12 @@ def main():
 
         return f
 
+    from scade_tpu.ops.sampling import sample_pdf_bucketed
+
     impls = {
         "masked": sample_pdf_masked,
         "onehot": sample_pdf_onehot,
+        "bucketed": sample_pdf_bucketed,
         "pallas": fused_sample_pdf,
     }
     for M in (63, 191):
