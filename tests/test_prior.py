@@ -30,6 +30,31 @@ def small_model():
     return model, variables
 
 
+def test_grouped_conv_lowerings_agree():
+    """GroupedConv3x3's two lowerings (feature_group_count below the
+    spatial threshold, block-diagonal dense at/above it) must produce the
+    same values from the same (3, 3, in/g, out) kernel, and its param tree
+    must match the nn.Conv it replaced (checkpoint compatibility)."""
+    from flax import linen as nn
+
+    from scade_tpu.prior.blocks import GroupedConv3x3
+
+    key = jax.random.key(3)
+    mod = GroupedConv3x3(64, groups=8, stride=2)
+    small = jax.random.normal(key, (2, 8, 8, 32))  # 64 px < 56² -> fgc
+    big = jax.random.normal(key, (2, 64, 64, 32))  # 4096 px >= 56² -> dense
+    v = mod.init(key, small)
+    assert v["params"]["kernel"].shape == (3, 3, 4, 64)
+
+    ref = nn.Conv(64, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)],
+                  feature_group_count=8, use_bias=False)
+    for x in (small, big):
+        ours = mod.apply(v, x)
+        theirs = ref.apply({"params": {"kernel": v["params"]["kernel"]}}, x)
+        np.testing.assert_allclose(
+            np.asarray(ours), np.asarray(theirs), atol=2e-6, rtol=1e-6)
+
+
 def test_model_shapes_and_z_sensitivity(small_model):
     model, variables = small_model
     sh = zero_shifts(SMALL)
