@@ -225,8 +225,10 @@ def render_video(
              "-profile:v", "high", "-crf", str(fps), video_file]
         )
     else:
-        # no ffmpeg in this image: fall back to imageio's mp4 writer if one
-        # exists, else leave the per-frame jpgs (video_dir) as the artifact
+        # no ffmpeg in this image: first try imageio's mp4 writer (present
+        # only when an ffmpeg/pyav backend is installed), else write the
+        # frames as an MJPEG AVI — a playable video file from pure Python
+        # (scade_tpu/utils/video.py); the per-frame jpgs stay alongside
         try:
             import imageio.v2 as imageio
 
@@ -237,9 +239,32 @@ def render_video(
             with imageio.get_writer(video_file, fps=fps) as w:
                 for f in frames:
                     w.append_data(imageio.imread(os.path.join(video_dir, f)))
-        except Exception as exc:  # pragma: no cover
-            print(f"ffmpeg unavailable ({exc}); frames left in {video_dir}")
-            video_file = video_dir
+        except Exception:
+            try:
+                from scade_tpu.utils.video import write_mjpeg_avi
+
+                frames = sorted(
+                    (f for f in os.listdir(video_dir) if f.endswith(".jpg")),
+                    key=lambda f: int(f.split(".")[0]),
+                )
+                jpegs = []
+                size = None
+                for f in frames:
+                    p = os.path.join(video_dir, f)
+                    with open(p, "rb") as fp:
+                        jpegs.append(fp.read())
+                    if size is None:
+                        img = cv2.imread(p)
+                        size = (img.shape[1], img.shape[0])
+                video_file = os.path.join(
+                    ckpt_dir, expname, filename + ".avi"
+                )
+                write_mjpeg_avi(video_file, jpegs, size, fps=fps)
+                print(f"no mp4 encoder: wrote MJPEG AVI {video_file}")
+            except Exception as exc:  # pragma: no cover
+                print(f"video encode unavailable ({exc}); "
+                      f"frames left in {video_dir}")
+                video_file = video_dir
     print(f"Maximal depth in video: {max_depth_in_video}")
     return video_file
 

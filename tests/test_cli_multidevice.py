@@ -58,6 +58,17 @@ def test_cli_train_multidevice(tmp_path):
     video_dir = result_dir / "video_0"
     frames = [f for f in os.listdir(video_dir) if f.endswith(".jpg")]
     assert frames, "no video frames written"
+    # with no mp4 encoder in the image, the task must still produce a
+    # PLAYABLE video file: the pure-Python MJPEG AVI (utils/video.py)
+    avi = result_dir / "0.avi"
+    assert avi.exists(), "no MJPEG AVI written"
+    import cv2
+
+    cap = cv2.VideoCapture(str(avi))
+    n = 0
+    while cap.read()[0]:
+        n += 1
+    assert n == len(frames), (n, len(frames))
 
 
 def test_cli_test_opt_camera_latent(tmp_path):
