@@ -218,11 +218,25 @@ def render_video(
         cv2.imwrite(os.path.join(video_dir, f"{img_idx}.jpg"), frame)
 
     video_file = os.path.join(ckpt_dir, expname, filename + ".mp4")
+    frame_names = sorted(
+        (f for f in os.listdir(video_dir) if f.endswith(".jpg")),
+        key=lambda f: int(f.split(".")[0]),
+    )
     if shutil.which("ffmpeg") is not None:
+        # the reference invokes ffmpeg with '%d.jpg' and '-crf str(fps)'
+        # (run_scade_scannet.py:264) — but its frames are named by pose
+        # index stepping `every`, so the image2 sequence demuxer stops at
+        # the first gap (a 1-frame mp4), and fps lands in the CRF quality
+        # knob. Both are genuinely broken; fixed here via the gap-tolerant
+        # concat demuxer and a constant CRF (PARITY.md known deviations).
+        list_path = os.path.join(video_dir, "frames.txt")
+        with open(list_path, "w") as fp:
+            for f in frame_names:
+                fp.write(f"file '{os.path.abspath(os.path.join(video_dir, f))}'\n")
         subprocess.call(
-            ["ffmpeg", "-y", "-framerate", str(fps), "-i",
-             os.path.join(video_dir, "%d.jpg"), "-c:v", "libx264",
-             "-profile:v", "high", "-crf", str(fps), video_file]
+            ["ffmpeg", "-y", "-r", str(fps), "-f", "concat", "-safe", "0",
+             "-i", list_path, "-c:v", "libx264", "-profile:v", "high",
+             "-crf", "23", "-pix_fmt", "yuv420p", video_file]
         )
     else:
         # no ffmpeg in this image: first try imageio's mp4 writer (present
@@ -232,24 +246,16 @@ def render_video(
         try:
             import imageio.v2 as imageio
 
-            frames = sorted(
-                (f for f in os.listdir(video_dir) if f.endswith(".jpg")),
-                key=lambda f: int(f.split(".")[0]),
-            )
             with imageio.get_writer(video_file, fps=fps) as w:
-                for f in frames:
+                for f in frame_names:
                     w.append_data(imageio.imread(os.path.join(video_dir, f)))
         except Exception:
             try:
                 from scade_tpu.utils.video import write_mjpeg_avi
 
-                frames = sorted(
-                    (f for f in os.listdir(video_dir) if f.endswith(".jpg")),
-                    key=lambda f: int(f.split(".")[0]),
-                )
                 jpegs = []
                 size = None
-                for f in frames:
+                for f in frame_names:
                     p = os.path.join(video_dir, f)
                     with open(p, "rb") as fp:
                         jpegs.append(fp.read())

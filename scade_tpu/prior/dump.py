@@ -61,20 +61,25 @@ def dump_depth_hypotheses(
     # variables/shifts are jit ARGUMENTS: closed-over device arrays are
     # baked into the HLO as constants, and the 466 MB ResNeXt params then
     # overflow the axon tunnel's remote_compile request (HTTP 413).
+    # full reduced-precision inference: params AND activations in
+    # compute_dtype (halves HBM traffic vs the matmul-precision-only fast
+    # path; eval-mode BN is a scale/shift, and the SfM polyfit realigns
+    # every hypothesis downstream, so hypothesis diversity — not low-order
+    # depth bits — is what survives). The ~0.5 GB param tree is cast ONCE
+    # here, outside the jit, not per call; it stays a jit ARGUMENT below.
+    if compute_dtype is not None:
+        cd = jnp.dtype(compute_dtype)
+        cast = lambda t: jax.tree.map(
+            lambda a: a.astype(cd)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a, t)
+        variables, shifts = cast(variables), cast(shifts)
+
     @jax.jit
     def infer(variables, shifts, rgb, z):
         if compute_dtype is not None:
-            # full reduced-precision inference: params AND activations in
-            # compute_dtype (halves HBM traffic vs the matmul-precision-only
-            # fast path; eval-mode BN is a scale/shift, and the SfM polyfit
-            # realigns every hypothesis downstream, so hypothesis diversity
-            # — not low-order depth bits — is what survives)
             cd = jnp.dtype(compute_dtype)
-            cast = lambda t: jax.tree.map(
-                lambda a: a.astype(cd)
-                if jnp.issubdtype(a.dtype, jnp.floating) else a, t)
-            variables, shifts, rgb, z = (
-                cast(variables), cast(shifts), cast(rgb), cast(z))
+            rgb = rgb.astype(cd)
+            z = z.astype(cd)
         rgb_rep = jnp.repeat(rgb, mini_batch_size, axis=0)
         out = prior_apply(model, variables, shifts, rgb_rep, z)
         return out.astype(jnp.float32)

@@ -355,6 +355,16 @@ def render_ray_batch(
     on scan-output DCE.
     """
     n = rays_o.shape[0]
+
+    def norm_bound(x):
+        # (N,) per-ray bounds -> (N, 1), the shape render_rays broadcasts;
+        # normalized HERE so the n <= chunk early return accepts the
+        # reference render() contract ("near: float or array of shape
+        # [batch_size]") exactly like the tiled path below
+        x = jnp.asarray(x, dtype=rays_o.dtype)
+        return x[:, None] if x.ndim == 1 else x
+
+    near, far = norm_bound(near), norm_bound(far)
     if n <= chunk:
         out = render_rays(scene, rc, rays_o, rays_d, near, far, key=key)
         if outputs is not None:
@@ -369,12 +379,10 @@ def render_ray_batch(
     rd = rd.reshape(n_tiles, chunk, 3)
 
     def per_ray(x):
-        # normalize scalar / (N,) / (N, 1) near-far to tiled (n_tiles, chunk, 1)
-        # so per-ray bounds (reference render(): "near: float or array of
-        # shape [batch_size]") survive the chunking
-        x = jnp.asarray(x, dtype=ro.dtype)
-        if x.ndim <= 1:
-            x = x.reshape(-1, 1)
+        # tile the normalized scalar / (N, 1) bounds to (n_tiles, chunk, 1)
+        # so per-ray values survive the chunking
+        if x.ndim == 0:
+            x = x.reshape(1, 1)
         x = jnp.broadcast_to(x, (n, 1))
         x = jnp.pad(x, ((0, pad), (0, 0)), mode="edge")
         return x.reshape(n_tiles, chunk, 1)

@@ -47,6 +47,36 @@ def make_timer(iters, ks=(1, 4)):
     return timer
 
 
+def slope_time(fn, x, params, iters=6, ks=(2, 8)):
+    """ms per single fn(x, params) application via the chained-scan slope
+    protocol (one shared copy for the probe tools — keep measurement
+    methodology identical across probes)."""
+    import time as _time
+
+    def make(k):
+        @jax.jit
+        def f(salt, x, params):
+            def body(acc, i):
+                out = fn(x + (salt * 1e-9 + acc * 0.0) * i, params)
+                return acc + jnp.sum(out), None
+
+            acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(k))
+            return acc
+
+        return f
+
+    ts = []
+    for k in ks:
+        f = make(k)
+        np.asarray(f(jnp.float32(1.0), x, params))
+        np.asarray(f(jnp.float32(2.0), x, params))
+        t0 = _time.perf_counter()
+        for i in range(iters):
+            np.asarray(f(jnp.float32(3.0 + i), x, params))
+        ts.append((_time.perf_counter() - t0) / iters)
+    return (ts[1] - ts[0]) / (ks[1] - ks[0]) * 1e3
+
+
 def chain_of(apply_fn, x, k, *state):
     """k dependent applications of apply_fn(x + eps, *state) summed to one
     scalar. x and state are jit ARGUMENTS — closed-over device arrays would

@@ -20,31 +20,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from tools.bench_prior import slope_time  # shared chained-scan protocol
+
 jax.config.update("jax_default_matmul_precision", "bfloat16")
 
 DN = ("NHWC", "HWIO", "NHWC")
 
-
-def slope_time(fn, x, w, iters=6, ks=(4, 16)):
-    """ms per single fn(x, w) application via chained-scan slope."""
-    ts = []
-    for k in ks:
-        @jax.jit
-        def f(salt, x, w):
-            def body(acc, i):
-                out = fn(x + (salt * 1e-9 + acc * 0.0) * i, w)
-                return acc + jnp.sum(out), None
-
-            acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(k))
-            return acc
-
-        np.asarray(f(jnp.float32(1.0), x, w))
-        np.asarray(f(jnp.float32(2.0), x, w))
-        t0 = time.perf_counter()
-        for i in range(iters):
-            np.asarray(f(jnp.float32(3.0 + i), x, w))
-        ts.append((time.perf_counter() - t0) / iters)
-    return (ts[1] - ts[0]) / (ks[1] - ks[0]) * 1e3
 
 
 def main():
