@@ -57,6 +57,16 @@ class PriorTrainConfig:
     max_epoch: int = 60
     batch_size: int = 4
     d_latent: int = 32
+    # Optional mixed-precision compute: forward/backward run with params,
+    # activations, and gradients cast to this dtype while the OPTIMIZER
+    # state and master params stay f32 (grads flow back through the cast).
+    # flax BatchNorm computes batch statistics in f32 regardless
+    # (normalization._compute_stats force_float32_reductions), and the
+    # loss criterion runs on an f32-cast depth; the running-average BN
+    # stats are stored back as f32 but their per-step update happens in
+    # this dtype (~1e-3 relative noise — far below batch-to-batch stat
+    # variance). None = full f32 (exact reference numerics).
+    compute_dtype: Optional[str] = None
     loss_mode: str = (
         "_ranking-edge_pairwise-normal-regress-edge_msgil-normal_"
         "meanstd-tanh_pairwise-normal-regress-plane_"
@@ -195,16 +205,37 @@ def load_mean_var_adain(path: str):
 
 
 def make_loss_fn(model, tc: PriorTrainConfig, train: bool):
+    cd = jnp.dtype(tc.compute_dtype) if tc.compute_dtype else None
+
+    def cast(t, to):
+        return jax.tree.map(
+            lambda a: a.astype(to)
+            if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else a, t)
+
     def loss_fn(params, batch_stats, shifts, batch, z, key):
-        variables = {"params": params, "batch_stats": batch_stats}
+        rgb = batch["rgb"]
+        if cd is not None:
+            # master params stay f32 in the caller; grads flow back
+            # through these casts (standard mixed-precision)
+            params_c = cast(params, cd)
+            batch_stats_c = cast(batch_stats, cd)
+            shifts_c = cast(shifts, cd)
+            rgb, z = rgb.astype(cd), z.astype(cd)
+        else:
+            params_c, batch_stats_c, shifts_c = params, batch_stats, shifts
+        variables = {"params": params_c, "batch_stats": batch_stats_c}
         if train:
             depth, mut = prior_apply(
-                model, variables, shifts, batch["rgb"], z, train=True
+                model, variables, shifts_c, rgb, z, train=True
             )
             new_stats = mut["batch_stats"]
+            if cd is not None:
+                new_stats = cast(new_stats, jnp.float32)
         else:
-            depth = prior_apply(model, variables, shifts, batch["rgb"], z)
+            depth = prior_apply(model, variables, shifts_c, rgb, z)
             new_stats = batch_stats
+        # the loss suite runs in f32 whatever the compute dtype
+        depth = depth.astype(jnp.float32)
         loss_dict, total_raw = criterion(key, depth, batch, tc.loss_mode)
         total = jnp.mean(total_raw)
         return total, (loss_dict, total_raw, new_stats)

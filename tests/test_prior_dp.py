@@ -92,3 +92,39 @@ def test_dp_step_output_shardings(setup):
     assert np.isfinite(np.asarray(total2))
     leaf = jax.tree_util.tree_leaves(params)[0]
     assert leaf.sharding.is_fully_replicated
+
+
+def test_mixed_precision_step_tracks_f32(setup):
+    """compute_dtype=bfloat16 (f32 master params, bf16 fwd/bwd) must run,
+    keep every state leaf f32, and produce a loss close to the f32 step's."""
+    import dataclasses
+
+    model, variables, tc, batch, z, shifts = setup
+    opt = make_prior_optimizer(variables["params"], tc)
+    p32, s32, total32, _ = _run(
+        make_train_step(model, tc, opt), variables, tc, batch, z, shifts, opt)
+
+    tc16 = dataclasses.replace(tc, compute_dtype="bfloat16")
+    opt16 = make_prior_optimizer(variables["params"], tc16)
+    p16, s16, total16, _ = _run(
+        make_train_step(model, tc16, opt16), variables, tc16, batch, z,
+        shifts, opt16)
+
+    for leaf in jax.tree.leaves(p16) + jax.tree.leaves(s16):
+        assert leaf.dtype == jnp.float32, leaf.dtype
+    assert np.isfinite(total16)
+    # bf16 has ~3 decimal digits; the losses must agree to a few percent
+    assert abs(total16 - total32) / (abs(total32) + 1e-6) < 0.05, (
+        total16, total32)
+    # and the parameter update must move in (approximately) the same
+    # direction: cosine similarity of the flattened updates
+    d32 = np.concatenate([
+        (np.asarray(a) - np.asarray(b)).ravel()
+        for a, b in zip(jax.tree.leaves(p32),
+                        jax.tree.leaves(variables["params"]))])
+    d16 = np.concatenate([
+        (np.asarray(a) - np.asarray(b)).ravel()
+        for a, b in zip(jax.tree.leaves(p16),
+                        jax.tree.leaves(variables["params"]))])
+    cos = float(d32 @ d16 / (np.linalg.norm(d32) * np.linalg.norm(d16) + 1e-12))
+    assert cos > 0.9, cos

@@ -85,6 +85,12 @@ def main():
                          "f32). bfloat16 measures ~3x on this chip "
                          "(BASELINE.md r3); the conservative default keeps "
                          "the ambient JAX setting")
+    ap.add_argument("--compute_dtype", default=None,
+                    choices=["bfloat16", "float32"],
+                    help="mixed-precision compute: fwd/bwd in this dtype "
+                         "with f32 master params and optimizer state "
+                         "(PriorTrainConfig.compute_dtype); BN batch stats "
+                         "stay f32 inside flax")
     args = ap.parse_args()
 
     if os.environ.get("SCADE_PLATFORM"):
@@ -128,6 +134,7 @@ def main():
         batch_size=args.batchsize, d_latent=args.d_latent,
         use_scheduler=args.use_scheduler,
         scale_decoder_lr=args.scale_decoder_lr,
+        compute_dtype=args.compute_dtype,
     )
     if args.loss_mode:
         tc_kwargs["loss_mode"] = args.loss_mode
