@@ -295,6 +295,11 @@ def main():
     ap.add_argument("--ablate_train", action="store_true",
                     help="train-step attribution: fwd / BN stats / grads / "
                          "decoder-only grads / full SGD step")
+    ap.add_argument("--compute_dtype", default=None,
+                    choices=["bfloat16", "float32"],
+                    help="full-cast path: params+activations in this dtype "
+                         "(the dump tools' --compute_dtype / the trainer's "
+                         "mixed-precision mode)")
     args = ap.parse_args()
     if args.precision:
         jax.config.update("jax_default_matmul_precision", args.precision)
@@ -316,6 +321,13 @@ def main():
     print("initializing model ...", flush=True)
     variables = model.init(jax.random.PRNGKey(0), x[:1], z[:1], shifts,
                            train=False)
+    if args.compute_dtype:
+        cd = jnp.dtype(args.compute_dtype)
+        cast = lambda t: jax.tree.map(
+            lambda a: a.astype(cd)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a, t)
+        variables, shifts, x, z = cast(variables), cast(shifts), cast(x), cast(z)
+        print(f"compute_dtype: {cd}", flush=True)
     n_params = sum(p.size for p in jax.tree.leaves(variables["params"]))
     print(f"params: {n_params / 1e6:.1f}M", flush=True)
 
