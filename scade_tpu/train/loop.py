@@ -249,20 +249,23 @@ def train_nerf(scene, args):
 
         if i % args.i_img == 0 and is_primary:
             sv = scene_vars(state.params)
-            imgs_np = np.asarray(jax.device_get(st.images))
-            # depths/valid must align row-for-row with st.images: train split
-            # then the substituted val split (test when i_val is empty) —
-            # mirror scene_tensors_from_scene (reference :843-847)
+            # all of these already live on the host in `scene` — indexing
+            # there avoids re-fetching the (possibly hundreds of MB) image
+            # stack from the device at every i_img. Rows must align with
+            # st.images: train split then the substituted val split (test
+            # when i_val is empty) — mirror scene_tensors_from_scene
+            # (reference :843-847)
             i_val_global = scene.i_val if len(scene.i_val) else scene.i_test
             i_rel = (
                 np.concatenate([scene.i_train, i_val_global])
                 if len(i_val_global)
                 else scene.i_train
             )
+            imgs_np = scene.images[i_rel]
             depths_np = scene.depths[i_rel]
             valid_np = scene.valid_depths[i_rel]
-            poses_np = np.asarray(jax.device_get(st.poses))
-            intr_np = np.asarray(jax.device_get(st.intrinsics))
+            poses_np = scene.poses[i_rel]
+            intr_np = scene.intrinsics[i_rel]
             # 2 train renders → TB image grid (reference :1041-1048)
             _, images_train = render_images_with_metrics(
                 min(2, n_train), np.arange(n_train), imgs_np, depths_np,
