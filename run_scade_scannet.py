@@ -114,6 +114,15 @@ def main(variant: str = "scannet", argv=None):
     from scade_tpu.utils.ckpt import find_checkpoints, load_params_from_checkpoint
 
     rc, _ = args_to_configs(args)
+    # multi-device: shard eval rays over all devices (renderer shard_map)
+    import jax
+
+    eval_mesh = None
+    if jax.device_count() > 1:
+        from scade_tpu.parallel.mesh import make_mesh
+
+        eval_mesh = make_mesh()
+        print(f"Rendering sharded over {jax.device_count()} devices")
     ckpts = find_checkpoints(args.ckpt_dir, args.expname)
     if not ckpts:
         sys.exit(f"no checkpoints found in {args.ckpt_dir}/{args.expname}")
@@ -163,7 +172,7 @@ def main(variant: str = "scannet", argv=None):
             scene.images[i_test], depths, valid, scene.poses[i_test],
             scene.H, scene.W, scene.intrinsics[i_test],
             sv, rc, scene.near, scene.far, chunk=args.chunk // 2,
-            embedded_cams=embedded_cams,
+            embedded_cams=embedded_cams, mesh=eval_mesh,
         )
         write_images_with_metrics(
             images_test, mean_metrics, scene.far, args.ckpt_dir,
@@ -174,7 +183,7 @@ def main(variant: str = "scannet", argv=None):
         render_video(
             scene.poses[i_video], scene.H, scene.W, scene.intrinsics[i_video],
             "0", args.ckpt_dir, args.expname, sv, rc,
-            scene.near, scene.far, chunk=args.chunk // 2,
+            scene.near, scene.far, chunk=args.chunk // 2, mesh=eval_mesh,
         )
     else:
         sys.exit(f"unknown task {args.task}")

@@ -45,6 +45,7 @@ def render_images_with_metrics(
     rng: Optional[np.random.Generator] = None,
     verbose: bool = True,
     embedded_cams=None,
+    mesh=None,
 ):
     """Render `count` images (None = all, in order) and accumulate
     PSNR/SSIM/LPIPS/RMSE (reference :304-394). Returns (MeanTracker, dict of
@@ -84,7 +85,7 @@ def render_images_with_metrics(
         out = render_image(
             scene, rc, H, W,
             jnp.asarray(intrinsics[img_idx]), jnp.asarray(poses[img_idx]),
-            near, far, chunk=chunk,
+            near, far, chunk=chunk, mesh=mesh,
         )
         rgb = np.asarray(out["rgb_map"])
         depth = np.asarray(out["depth_map"])
@@ -182,6 +183,7 @@ def render_video(
     chunk: int = 16384,
     fps: int = 25,
     every: int = 3,
+    mesh=None,
 ):
     """Spiral/trajectory video: every 3rd pose, 16:9 frames of
     [rgb | turbo(depth/far) | viridis(depth_std)] → ffmpeg mp4
@@ -198,7 +200,7 @@ def render_video(
         out = render_image(
             scene, rc, H, W,
             jnp.asarray(intrinsics[img_idx]), jnp.asarray(poses[img_idx]),
-            near, far, chunk=chunk, with_5_9=True,
+            near, far, chunk=chunk, with_5_9=True, mesh=mesh,
         )
         rgb8 = to8b(np.asarray(out["rgb_map"]))
         frame = cv2.cvtColor(rgb8, cv2.COLOR_RGB2BGR)

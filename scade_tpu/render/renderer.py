@@ -27,6 +27,7 @@ from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from scade_tpu.models.nerf import NeRFConfig, nerf_apply
 from scade_tpu.ops.embedding import Embedder, positional_encoding
@@ -444,6 +445,57 @@ def _image_render_fn(rc: RenderConfig, H: int, W: int, chunk: int,
     return fn
 
 
+@functools.lru_cache(maxsize=32)
+def _image_render_fn_sharded(rc: RenderConfig, H: int, W: int, chunk: int,
+                             with_5_9: bool, mesh):
+    """Multi-device whole-image render: the flattened ray grid is split
+    over EVERY mesh device with shard_map (rays are embarrassingly
+    parallel — no collectives inside), params replicate. The reference
+    evaluates on one GPU (run_scade_scannet.py:304-394); this is the
+    TPU-native scale-out for test/video rendering, complementing the
+    data-parallel train step (train/step.py)."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    split = P(tuple(mesh.axis_names))
+
+    @jax.jit
+    def fn(scene, intrinsic, c2w, near, far):
+        rays_o, rays_d = get_rays(H, W, intrinsic, c2w)
+        w_out = W
+        if with_5_9:
+            w_out = int(H / 9.0 * 16.0 / 3.0)
+            if w_out % 2 != 0:
+                w_out -= 1
+            start = (W - w_out) // 2
+            rays_o = rays_o[:, start : start + w_out, :]
+            rays_d = rays_d[:, start : start + w_out, :]
+        ro = rays_o.reshape(-1, 3)
+        rd = rays_d.reshape(-1, 3)
+        n = ro.shape[0]
+        per = -(-n // n_dev)
+        pad = per * n_dev - n
+        ro = jnp.pad(ro, ((0, pad), (0, 0)), mode="edge")
+        rd = jnp.pad(rd, ((0, pad), (0, 0)), mode="edge")
+
+        def local(scene, ro, rd, near, far):
+            return render_ray_batch(
+                scene, rc, ro, rd, near, far, chunk=min(chunk, per)
+            )
+
+        out = shard_map(
+            local, mesh=mesh,
+            in_specs=(P(), split, split, P(), P()),
+            out_specs=split,
+        )(scene, ro, rd, near, far)
+        return jax.tree.map(
+            lambda x: x[:n].reshape((H, w_out) + x.shape[1:]), out
+        )
+
+    return fn
+
+
 def render_image(
     scene: SceneVars,
     rc: RenderConfig,
@@ -455,10 +507,18 @@ def render_image(
     far,
     chunk: int = 16384,
     with_5_9: bool = False,
+    mesh=None,
 ):
     """Full-image deterministic render (reference render() with c2w
-    :106-116). Returns the ret dict with (H, W, ...) leaves."""
-    fn = _image_render_fn(rc.test_mode(), H, W, chunk, with_5_9)
+    :106-116). Returns the ret dict with (H, W, ...) leaves.
+
+    ``mesh``: optional jax.sharding.Mesh — rays shard over all its
+    devices (see _image_render_fn_sharded); None renders on one device."""
+    if mesh is not None and np.prod(list(mesh.shape.values())) > 1:
+        fn = _image_render_fn_sharded(rc.test_mode(), H, W, chunk, with_5_9,
+                                      mesh)
+    else:
+        fn = _image_render_fn(rc.test_mode(), H, W, chunk, with_5_9)
     return fn(
         scene, jnp.asarray(intrinsic), jnp.asarray(c2w),
         jnp.float32(near), jnp.float32(far),

@@ -186,6 +186,7 @@ def train_nerf(scene, args):
             )
             tc = dataclasses.replace(tc, n_rand=new_n_rand)
         mesh = make_mesh()
+        eval_mesh = mesh
         print(f"Training data-parallel over {n_dev} devices")
         state = jax.device_put(state, state_shardings(state, mesh))
         st = jax.device_put(st, replicate(mesh))
@@ -193,6 +194,7 @@ def train_nerf(scene, args):
             rc, tc, scene.H, scene.W, n_train, data_spec=data_sharding(mesh)
         )
     else:
+        eval_mesh = None
         step_fn = make_train_step(rc, tc, scene.H, scene.W, n_train)
 
     # multi-host: only process 0 performs filesystem side effects — all
@@ -272,6 +274,7 @@ def train_nerf(scene, args):
                 valid_np, poses_np, scene.H, scene.W, intr_np, sv, rc,
                 scene.near, scene.far, chunk=args.chunk // 2,
                 lpips_fn=lpips_fn, rng=np.random.default_rng(i),
+                mesh=eval_mesh,
             )
             tb.add_image("train_image", _tb_grid(images_train, with0=False), i)
             # val metrics + 8 val renders (reference :1050-1074)
@@ -280,6 +283,7 @@ def train_nerf(scene, args):
                 valid_np, poses_np, scene.H, scene.W, intr_np, sv, rc,
                 scene.near, scene.far, chunk=args.chunk // 2,
                 lpips_fn=lpips_fn, rng=np.random.default_rng(i + 1),
+                mesh=eval_mesh,
             )
             tb.add_scalars("mse", {"val": mean_val.get("img_loss")}, i)
             tb.add_scalars("psnr", {"val": mean_val.get("psnr")}, i)
@@ -301,7 +305,7 @@ def train_nerf(scene, args):
                 scene.valid_depths[scene.i_test], scene.poses[scene.i_test],
                 scene.H, scene.W, scene.intrinsics[scene.i_test],
                 sv, rc, scene.near, scene.far, chunk=args.chunk // 2,
-                lpips_fn=lpips_fn,
+                lpips_fn=lpips_fn, mesh=eval_mesh,
             )
             write_images_with_metrics(
                 images_test, mean_test, scene.far, args.ckpt_dir,
