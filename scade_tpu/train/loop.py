@@ -41,17 +41,33 @@ from scade_tpu.utils.logging import Writer
 
 def compute_scene_bounds(scene):
     """Scene bbox from far-plane points of all train rays
-    (reference run_nerf, run_scade_scannet.py:1236-1244)."""
-    max_xyz = np.full((3,), -1e6, np.float32)
-    min_xyz = np.full((3,), 1e6, np.float32)
-    for idx in scene.i_train:
-        rays_o, rays_d = get_rays(
-            scene.H, scene.W,
-            jnp.asarray(scene.intrinsics[idx]), jnp.asarray(scene.poses[idx]),
-        )
-        pts = np.asarray(rays_o + rays_d * scene.far).reshape(-1, 3)
-        max_xyz = np.maximum(pts.max(0), max_xyz)
-        min_xyz = np.minimum(pts.min(0), min_xyz)
+    (reference run_nerf, run_scade_scannet.py:1236-1244).
+
+    One jitted lax.map over the train images (per-image min/max reduced
+    in-program) instead of a Python loop of per-image dispatches — on a
+    1000-image scene over a remote-device tunnel the loop form paid N
+    dispatch round trips for a one-off reduction. min/max are exact, so
+    the bounds are identical to the loop's."""
+    H, W = scene.H, scene.W
+
+    @jax.jit
+    def bounds(intrinsics, poses, far):
+        def one(args):
+            intr, pose = args
+            rays_o, rays_d = get_rays(H, W, intr, pose)
+            pts = (rays_o + rays_d * far).reshape(-1, 3)
+            return pts.min(0), pts.max(0)
+
+        mins, maxs = jax.lax.map(one, (intrinsics, poses))
+        return mins.min(0), maxs.max(0)
+
+    min_xyz, max_xyz = bounds(
+        jnp.asarray(scene.intrinsics[scene.i_train]),
+        jnp.asarray(scene.poses[scene.i_train]),
+        jnp.float32(scene.far),
+    )
+    min_xyz = np.minimum(np.asarray(min_xyz), np.full((3,), 1e6, np.float32))
+    max_xyz = np.maximum(np.asarray(max_xyz), np.full((3,), -1e6, np.float32))
     bb_center = (max_xyz + min_xyz) / 2.0
     bb_scale = 2.0 / (max_xyz - min_xyz).max()
     return bb_center, float(bb_scale)
