@@ -118,7 +118,7 @@ def main(variant: str = "scannet", argv=None):
     import jax
 
     eval_mesh = None
-    if jax.device_count() > 1:
+    if jax.device_count() > 1 and jax.process_count() == 1:
         from scade_tpu.parallel.mesh import make_mesh
 
         eval_mesh = make_mesh()

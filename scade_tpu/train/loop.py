@@ -202,7 +202,10 @@ def train_nerf(scene, args):
             )
             tc = dataclasses.replace(tc, n_rand=new_n_rand)
         mesh = make_mesh()
-        eval_mesh = mesh
+        # eval renders run on process 0 ONLY (is_primary guard below), so
+        # the sharded eval path is valid only when this process addresses
+        # the whole mesh — in multihost runs eval falls back to one device
+        eval_mesh = mesh if jax.process_count() == 1 else None
         print(f"Training data-parallel over {n_dev} devices")
         state = jax.device_put(state, state_shardings(state, mesh))
         st = jax.device_put(st, replicate(mesh))
