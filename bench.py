@@ -113,5 +113,51 @@ def main():
     )
 
 
+def _main_with_watchdog():
+    """Run the measurement in a child process with a hard timeout.
+
+    The axon tunnel can drop for hours (observed mid-round-3: port 8113
+    connection-refused; PJRT init then HANGS instead of failing), and the
+    driver contract is "print ONE JSON line" — a hang would record
+    nothing. The child prints the real line on success; on timeout/crash
+    we print an honest zero-valued line with the error attached.
+    Set SCADE_BENCH_WATCHDOG=0 to run in-process (profiling/debugging).
+    """
+    import os
+    import subprocess
+    import sys
+
+    if os.environ.get("SCADE_BENCH_WATCHDOG", "1") == "0" or os.environ.get(
+        "_SCADE_BENCH_CHILD"
+    ):
+        main()
+        return
+    env = dict(os.environ, _SCADE_BENCH_CHILD="1")
+    timeout_s = int(os.environ.get("SCADE_BENCH_TIMEOUT", "2400"))
+    try:
+        res = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, timeout=timeout_s, capture_output=True, text=True,
+        )
+        lines = [l for l in res.stdout.splitlines() if l.startswith("{")]
+        if res.returncode == 0 and lines:
+            print(lines[-1])
+            return
+        err = (res.stderr or res.stdout or "").strip()[-300:]
+    except subprocess.TimeoutExpired:
+        err = f"TPU unreachable: measurement exceeded {timeout_s}s"
+    print(
+        json.dumps(
+            {
+                "metric": "render_throughput",
+                "value": 0.0,
+                "unit": "rays/sec/chip",
+                "vs_baseline": 0.0,
+                "error": err,
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
-    main()
+    _main_with_watchdog()
