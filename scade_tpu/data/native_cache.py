@@ -55,9 +55,9 @@ def _load_lib():
         and os.path.exists(src)
         and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
     )
+    # missing or stale (source newer than binary → ABI may have changed):
+    # only a successful rebuild makes the binary loadable
     if (not os.path.exists(_LIB_PATH) or stale) and not _build_if_possible():
-        if stale:
-            return None  # ABI may have changed; don't load a stale binary
         return None
     lib = ctypes.CDLL(_LIB_PATH)
     lib.scade_npy_count.restype = ctypes.c_int64

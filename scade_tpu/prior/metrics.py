@@ -20,12 +20,14 @@ def recover_metric_depth(pred, gt, mask_threshold: float = 0.1,
                          default_shift: float = 0.0):
     """Per-image deg-1 polyfit of pred→gt over gt > threshold
     (output_depth_hypothesis_scannet.py:302-324; threshold 0.5 for wild
-    scenes, :55-56 fallback scale/shift when no SfM points)."""
+    scenes). When no SfM point clears the threshold the reference returns
+    pred UNSCALED — FLAGS.default_scale/default_shift (:55-56) are reported
+    as metadata only (:312-314), never applied."""
     gt = np.asarray(gt).squeeze()
     pred = np.asarray(pred).squeeze()
     mask = gt > mask_threshold
     if mask.sum() == 0:
-        return pred * default_scale + default_shift, default_scale, default_shift
+        return pred, default_scale, default_shift
     a, b = np.polyfit(pred[mask], gt[mask], deg=1)
     return a * pred + b, a, b
 

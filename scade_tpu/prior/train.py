@@ -279,9 +279,12 @@ def recache_z(model, variables, shifts, tc: PriorTrainConfig, batches, key):
     for batch in batches:
         B = batch["rgb"].shape[0]
         losses, zs = [], []
+        # upload once per batch: the host->device transfer is loop-invariant
+        # over the num_sets z-draws (~12 MB/batch at 448² — re-sending it
+        # per set costs seconds through the tunnel)
+        batch_j = {k2: jnp.asarray(v) for k2, v in batch.items()}
         for _ in range(num_sets):
             key, k = jax.random.split(key)
-            batch_j = {k2: jnp.asarray(v) for k2, v in batch.items()}
             l, z = step(
                 variables["params"], variables["batch_stats"], shifts, batch_j, k
             )

@@ -165,13 +165,25 @@ def train_nerf(scene, args):
     run_dir = os.path.join(args.ckpt_dir, args.expname)
     os.makedirs(run_dir, exist_ok=True)
     start = 0
+    resumed = False
     if not args.no_reload:
         ckpts = find_checkpoints(args.ckpt_dir, args.expname)
         if ckpts:
             print(f"Reloading from {ckpts[-1]}")
             state = restore_train_state(ckpts[-1], state, rc)
             start = int(state.step)
-    if args.load_pretrained:
+            resumed = True
+    if args.load_pretrained and resumed:
+        # Resume wins over warm start: re-applying the pretrained bundle
+        # would discard `start` iterations of progress and reset the step.
+        # Matches the reference's effective behavior — its load_pretrained
+        # block never calls load_state_dict (run_scade_scannet.py:915-926,
+        # the updated dicts are discarded) and never rewinds `start`.
+        print(
+            f"Run checkpoint found at step {start}; ignoring "
+            "--load_pretrained (resume takes precedence)"
+        )
+    elif args.load_pretrained:
         ckpts = find_checkpoints(
             os.path.dirname(args.pretrained_dir.rstrip("/")),
             os.path.basename(args.pretrained_dir.rstrip("/")),

@@ -140,6 +140,18 @@ def restore_train_state(path: str, state, rc):
                 jax.tree.structure(state.ss_opt_state),
                 [jnp.asarray(x) for x in jax.tree.leaves(extra["ss_opt_state"])],
             )
+        else:
+            # Structure drift (optax upgrade, changed architecture): the
+            # moments can't be restored, but the LR schedule must still
+            # resume decayed — a silently-fresh count=0 would rerun the
+            # staircase from lrate at step `step`.
+            print(
+                f"WARNING: checkpoint optimizer state has {len(got_opt)} "
+                f"leaves, expected {len(ref_opt)}; reinitializing Adam "
+                f"moments and fast-forwarding the LR schedule to step {step}"
+            )
+            kwargs["opt_state"] = _fast_forward_count(state.opt_state, step)
+            kwargs["ss_opt_state"] = _fast_forward_count(state.ss_opt_state, step)
     else:
         # reference checkpoint: no optax state. Fast-forward the Adam update
         # counts to the restored step so the staircase LR schedule resumes

@@ -12,9 +12,21 @@ import sys
 from typing import List, Optional
 
 
-def _read_config_file(path: str) -> List[str]:
+def _read_config_file(
+    path: str, parser: Optional[argparse.ArgumentParser] = None
+) -> List[str]:
     """configargparse-style file → argv fragments. Lines are 'key = value'
-    (or 'key: value'); booleans true/false; comments with #."""
+    (or 'key: value'); booleans true/false; comments with #.
+
+    Boolean lines must respect the target action's arity: store_true flags
+    take no value (bare ``--key``), while ``type=_bool`` options (is_joint,
+    mask_corners, load_pretrained, ...) require one — emitting a bare flag
+    for those makes argparse exit with 'expected one argument'."""
+    zero_arg = set()
+    if parser is not None:
+        for action in parser._actions:
+            if action.nargs == 0:  # store_true / store_false / count
+                zero_arg.update(o.lstrip("-") for o in action.option_strings)
     argv: List[str] = []
     with open(path, "r") as fp:
         for line in fp:
@@ -28,10 +40,11 @@ def _read_config_file(path: str) -> List[str]:
             else:
                 key, value = line, "true"
             key, value = key.strip(), value.strip().strip("'\"")
-            if value.lower() == "true":
-                argv.append(f"--{key}")
-            elif value.lower() == "false":
-                continue
+            if value.lower() in ("true", "false") and (
+                parser is None or key in zero_arg
+            ):
+                if value.lower() == "true":
+                    argv.append(f"--{key}")
             else:
                 argv.extend([f"--{key}", value])
     return argv
@@ -141,12 +154,17 @@ def _bool(v) -> bool:
 def parse_args(variant: str = "scannet", argv: Optional[List[str]] = None):
     argv = list(sys.argv[1:] if argv is None else argv)
     parser = build_parser(variant)
-    # pre-scan for --config and splice its contents before CLI flags so the
-    # CLI wins (configargparse precedence)
+    # pre-scan for --config and splice its contents before every CLI flag so
+    # the CLI wins (configargparse precedence). --config may appear anywhere
+    # (the positional task need not be argv[0]), so excise the pair wherever
+    # it sits rather than assuming argv[0] is the task.
     if "--config" in argv:
         idx = argv.index("--config")
-        cfg_args = _read_config_file(argv[idx + 1])
-        task = argv[:1]
-        rest = argv[1:]
-        argv = task + cfg_args + rest
+        if idx + 1 >= len(argv):
+            parser.error("argument --config: expected one argument")
+        cfg_path = argv[idx + 1]
+        rest = argv[:idx] + argv[idx + 2 :]
+        cfg_args = _read_config_file(cfg_path, parser)
+        # re-append --config so args.config records the file used
+        argv = cfg_args + rest + ["--config", cfg_path]
     return parser.parse_args(argv)

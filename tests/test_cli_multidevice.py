@@ -165,3 +165,29 @@ def test_cli_warm_start_from_pretrained(tmp_path):
     w = np.asarray(warm["depth_scales"], np.float64).ravel()
     assert np.abs(w - d).max() < np.abs(d - 1.0).max() + 1e-8
     assert np.abs(d - 1.0).max() > 0  # the donor actually moved them
+
+    # resume beats warm start: rerunning the same command after an
+    # interruption must continue from the run's own checkpoint (step 4),
+    # NOT re-apply the pretrained bundle and restart at 0 (which would
+    # silently discard the first 4 iterations)
+    main("scannet", [
+        "train", "--expname", "warm", "--num_iterations", "8",
+        "--i_weights", "4", "--load_pretrained", "true",
+        "--pretrained_dir", str(tmp_path / "ckpt" / "donor"),
+    ] + common)
+    resumed = torch.load(tmp_path / "ckpt" / "warm" / "000008.tar",
+                         map_location="cpu", weights_only=False)
+    assert int(resumed["global_step"]) == 8
+    # weights continued from the warm run's step-4 state, not from donor:
+    # donor trained 8 iters, warm 4 — a fresh warm start would re-diverge
+    # from donor's weights, a resume moves on from warm's
+    r0 = np.asarray(
+        resumed["network_fn_state_dict"]["module.pts_linears.0.weight"], np.float64
+    )
+    w0 = np.asarray(
+        warm["network_fn_state_dict"]["module.pts_linears.0.weight"], np.float64
+    )
+    d0 = np.asarray(
+        donor["network_fn_state_dict"]["module.pts_linears.0.weight"], np.float64
+    )
+    assert np.abs(r0 - w0).max() < np.abs(r0 - d0).max()

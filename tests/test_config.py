@@ -50,3 +50,31 @@ def test_config_file_and_cli_precedence(tmp_path):
     )
     assert a2.N_rand == 256
     assert a2.expname == "from_file"
+
+
+def test_config_file_bool_typed_options(tmp_path):
+    """`key = true` lines must work for type=_bool options (is_joint,
+    mask_corners, load_pretrained...), which take a value — a bare --is_joint
+    makes argparse exit 2 ('expected one argument')."""
+    cfg = tmp_path / "exp.txt"
+    cfg.write_text(
+        "is_joint = true\n"
+        "mask_corners = true\n"
+        "load_pretrained = false\n"
+        "lindisp = true\n"          # store_true flag: bare form
+    )
+    a = parse_args("scannet", ["train", "--config", str(cfg)])
+    assert a.is_joint is True
+    assert a.mask_corners is True
+    assert a.load_pretrained is False
+    assert a.lindisp is True
+
+
+def test_config_flag_before_task(tmp_path):
+    """--config may precede the positional task (configargparse accepts
+    flags in any position)."""
+    cfg = tmp_path / "exp.txt"
+    cfg.write_text("N_rand = 512\n")
+    a = parse_args("scannet", ["--config", str(cfg), "train"])
+    assert a.task == "train" and a.N_rand == 512
+    assert a.config == str(cfg)

@@ -240,6 +240,14 @@ def test_prior_metrics():
     )
     assert abs_rel < 0.02 and delta1 > 0.99 and whdr < 0.5
 
+    # no SfM point clears the threshold → the reference returns pred
+    # UNSCALED; default_scale/shift are metadata only
+    # (output_depth_hypothesis_scannet.py:312-314)
+    empty_gt = np.zeros_like(gt)
+    aligned2, a2, b2 = recover_metric_depth(pred_rel, empty_gt)
+    np.testing.assert_array_equal(aligned2, pred_rel)
+    assert a2 == 0.5 and b2 == 0.0
+
 
 def test_dump_tool_on_synthetic_scene(tmp_path, small_model):
     from scade_tpu.prior.dump import dump_depth_hypotheses

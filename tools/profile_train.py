@@ -211,12 +211,11 @@ def main():
 
     @jax.jit
     def strat_only(key):
-        u = jax.random.uniform(key, (tc.n_rand,), dtype=jnp.float32)
-        stride = (H * W) / tc.n_rand
-        pix = ((jnp.arange(tc.n_rand, dtype=jnp.float32) + u) * stride).astype(
-            jnp.int32
-        )
-        return jnp.sum(pix)
+        # the production law, not a reimplementation — a diverged copy here
+        # would attribute the cost of a different program
+        from scade_tpu.train.step import select_pixels
+
+        return jnp.sum(select_pixels(key, H, W, tc_strat))
 
     step = make_train_step(rc, tc, H, W, n_train, donate=False)
     step_strat = make_train_step(rc, tc_strat, H, W, n_train, donate=False)

@@ -227,6 +227,7 @@ def main():
 
     opt = make_prior_optimizer(variables["params"], tc)
     opt_state = opt.init(variables["params"])
+    n_data = 1
     if args.data_parallel:
         from scade_tpu.parallel.mesh import make_mesh
 
@@ -297,8 +298,15 @@ def main():
             # keep the loss as a device scalar: float() here would force a
             # tunnel round trip EVERY step (deferred execution, ~40-80 ms)
             epoch_losses.append(total)
-        print(f"Epoch {epoch}/{args.epochs}: loss "
-              f"{np.asarray(jnp.stack(epoch_losses)).mean():.5f}")
+        if epoch_losses:
+            print(f"Epoch {epoch}/{args.epochs}: loss "
+                  f"{np.asarray(jnp.stack(epoch_losses)).mean():.5f}")
+        else:
+            print(
+                f"Epoch {epoch}/{args.epochs}: NO trainable batches — the "
+                f"loader yielded nothing, or every batch was a remainder "
+                f"not divisible by the {n_data}-device data axis"
+            )
 
         if epoch % 8 == 0 or epoch == args.epochs - 1:
             path = os.path.join(args.log_dir, f"epoch{epoch}_step0.msgpack")
