@@ -27,7 +27,12 @@ MAX_DEPTH_M = 16.38  # 1/4 of the 16-bit range at 512 units/m (reference :65-68)
 def read_depth(depth_file: str) -> Tuple[np.ndarray, np.ndarray]:
     """uint16 depth png → (depth in [0,1] of 16.38 m, valid mask)
     (reference :51-74): values > 23000 invalid, 512 units per meter."""
-    depth = cv2.imread(depth_file, cv2.IMREAD_UNCHANGED)
+    depth = cv2.imread(depth_file, cv2.IMREAD_UNCHANGED) if depth_file else None
+    if depth is None:
+        # the reference crashes here (cv2.imread(None)[...] TypeError,
+        # :53-54); returning None lets callers zero-fill the example instead
+        # of aborting an hours-long pretraining epoch
+        return None, None
     depth = depth.astype(np.float64)
     depth[depth > 23000] = 0
     depth = depth / 512.0  # meters
@@ -157,7 +162,10 @@ class TaskonomyDataset:
     Matches the reference's quirks: the 968x1296 ScanNet-style rgb gets
     2-pixel height padding + nearest resize to the depth grid (:377-386);
     the db image id is the last-3 path components of the rgb file (:394);
-    missing files yield a zeroed example with found=False (:373-376);
+    missing rgb files yield a zeroed example with found=False (:373-376);
+    a missing/entry-less depth file also zero-fills here, where the
+    reference crashes in read_depth (documented deviation: an aborted
+    multi-hour pretraining epoch is genuinely broken);
     the depth channel is divided by (1 + tan|rot|) after rotation (:474).
     """
 
@@ -217,6 +225,8 @@ class TaskonomyDataset:
             return self._zero_example()
         rgb = bgr[:, :, ::-1].astype(np.float32) / 255.0  # (H, W, 3)
         depth, valid = read_depth(self.depth_files[index])
+        if depth is None:
+            return self._zero_example()
 
         # aspect-ratio fixup for 968x1296 rgb vs 480x640 depth (:377-386)
         if rgb.shape[0] == 968 and rgb.shape[1] == 1296:
@@ -380,6 +390,10 @@ class ScanNetDataset:
     def __getitem__(self, i: int) -> dict:
         rgb = cv2.imread(self.rgb_files[i])[:, :, ::-1].astype(np.float32) / 255.0
         depth, valid = read_depth(self.depth_files[i])
+        if depth is None:
+            raise FileNotFoundError(
+                f"depth file missing or unreadable: {self.depth_files[i]}"
+            )
         if self.feature_db is not None:
             depth, valid = sample_depth_at_image_features(
                 depth, valid, self.feature_db, self.db_ids[i]

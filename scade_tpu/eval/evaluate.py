@@ -79,9 +79,15 @@ def render_images_with_metrics(
         target_valid = np.asarray(valid_depths[img_idx]).astype(bool)
 
         if embedded_cams is not None:
-            # per-image optimized camera latent (test_opt,
-            # reference run_scade_scannet.py:404-418 embedcam handling)
-            scene = scene._replace(embedded_cam=jnp.asarray(embedded_cams[n]))
+            # per-image optimized camera latent (test_opt, reference
+            # run_scade_scannet.py:404-418 embedcam handling). embedded_cams
+            # is aligned with `indices`, not with the (possibly subsampled,
+            # shuffled) iteration order — index by img_idx's position in
+            # indices so the count=K random-subset path stays aligned.
+            cam_pos = int(np.asarray(indices).tolist().index(int(img_idx)))
+            scene = scene._replace(
+                embedded_cam=jnp.asarray(embedded_cams[cam_pos])
+            )
         out = render_image(
             scene, rc, H, W,
             jnp.asarray(intrinsics[img_idx]), jnp.asarray(poses[img_idx]),

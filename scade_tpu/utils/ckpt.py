@@ -129,29 +129,29 @@ def restore_train_state(path: str, state, rc):
         )
     extra = raw.get("scade_tpu")
     if extra is not None:
-        ref_opt = jax.tree.leaves(state.opt_state)
-        got_opt = jax.tree.leaves(extra["opt_state"])
-        if len(ref_opt) == len(got_opt):
-            kwargs["opt_state"] = jax.tree.unflatten(
-                jax.tree.structure(state.opt_state),
-                [jnp.asarray(x) for x in got_opt],
-            )
-            kwargs["ss_opt_state"] = jax.tree.unflatten(
-                jax.tree.structure(state.ss_opt_state),
-                [jnp.asarray(x) for x in jax.tree.leaves(extra["ss_opt_state"])],
-            )
-        else:
-            # Structure drift (optax upgrade, changed architecture): the
-            # moments can't be restored, but the LR schedule must still
-            # resume decayed — a silently-fresh count=0 would rerun the
-            # staircase from lrate at step `step`.
+        # Each optimizer restores independently: a structure drift (optax
+        # upgrade, changed architecture) in ONE of them must not crash the
+        # resume or reset the other. The moments can't be restored across a
+        # drift, but the LR schedule must still resume decayed — a
+        # silently-fresh count=0 would rerun the staircase from lrate at
+        # step `step`.
+        def _restore_opt(name, ref_state):
+            ref_leaves = jax.tree.leaves(ref_state)
+            got_leaves = jax.tree.leaves(extra[name])
+            if len(ref_leaves) == len(got_leaves):
+                return jax.tree.unflatten(
+                    jax.tree.structure(ref_state),
+                    [jnp.asarray(x) for x in got_leaves],
+                )
             print(
-                f"WARNING: checkpoint optimizer state has {len(got_opt)} "
-                f"leaves, expected {len(ref_opt)}; reinitializing Adam "
-                f"moments and fast-forwarding the LR schedule to step {step}"
+                f"WARNING: checkpoint {name} has {len(got_leaves)} leaves, "
+                f"expected {len(ref_leaves)}; reinitializing moments and "
+                f"fast-forwarding the LR schedule to step {step}"
             )
-            kwargs["opt_state"] = _fast_forward_count(state.opt_state, step)
-            kwargs["ss_opt_state"] = _fast_forward_count(state.ss_opt_state, step)
+            return _fast_forward_count(ref_state, step)
+
+        kwargs["opt_state"] = _restore_opt("opt_state", state.opt_state)
+        kwargs["ss_opt_state"] = _restore_opt("ss_opt_state", state.ss_opt_state)
     else:
         # reference checkpoint: no optax state. Fast-forward the Adam update
         # counts to the restored step so the staircase LR schedule resumes

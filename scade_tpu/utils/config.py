@@ -7,7 +7,6 @@ reader for its ``key = value`` config-file format (``--config file``).
 from __future__ import annotations
 
 import argparse
-import shlex
 import sys
 from typing import List, Optional
 
@@ -156,14 +155,22 @@ def parse_args(variant: str = "scannet", argv: Optional[List[str]] = None):
     parser = build_parser(variant)
     # pre-scan for --config and splice its contents before every CLI flag so
     # the CLI wins (configargparse precedence). --config may appear anywhere
-    # (the positional task need not be argv[0]), so excise the pair wherever
-    # it sits rather than assuming argv[0] is the task.
-    if "--config" in argv:
-        idx = argv.index("--config")
-        if idx + 1 >= len(argv):
-            parser.error("argument --config: expected one argument")
-        cfg_path = argv[idx + 1]
-        rest = argv[:idx] + argv[idx + 2 :]
+    # (the positional task need not be argv[0]) and in either the two-token
+    # or the '--config=path' form — missing the '=' form here would silently
+    # drop every option in the file while args.config still claims it loaded.
+    cfg_path = None
+    for i, tok in enumerate(argv):
+        if tok == "--config":
+            if i + 1 >= len(argv):
+                parser.error("argument --config: expected one argument")
+            cfg_path = argv[i + 1]
+            rest = argv[:i] + argv[i + 2 :]
+            break
+        if tok.startswith("--config="):
+            cfg_path = tok.split("=", 1)[1]
+            rest = argv[:i] + argv[i + 1 :]
+            break
+    if cfg_path is not None:
         cfg_args = _read_config_file(cfg_path, parser)
         # re-append --config so args.config records the file used
         argv = cfg_args + rest + ["--config", cfg_path]

@@ -140,7 +140,12 @@ class TrainingStats:
 def make_image_grid(images, unnormalize=None):
     """Stack a batch of HWC images into one tall image (the reference's
     torchvision make_grid(nrow=1) — train_utils/logging.py:49-58). 4-channel
-    rgbd batches produce [rgb | depth] side by side."""
+    rgbd batches produce [rgb | depth] side by side.
+
+    `unnormalize` entries are Normalize-style (mean, std) params — the
+    inverted dict from get_pretrained_normalize()[1] — applied with
+    torchvision Normalize semantics ``(x - mean) / std`` (so inverted params
+    (-m/s, 1/s) undo an ImageNet normalization: (x + m/s)·s = x·s + m)."""
     import numpy as np
 
     imgs = np.asarray(images)
@@ -152,13 +157,13 @@ def make_image_grid(images, unnormalize=None):
         depth = imgs[..., 3:]
         if unnormalize is not None:
             mean, std = unnormalize["rgbd"][0][:3], unnormalize["rgbd"][1][:3]
-            rgb = rgb * std + mean
+            rgb = (rgb - mean) / std
         grid_rgb = np.concatenate(list(rgb), axis=0)
         grid_d = np.concatenate(list(np.repeat(depth, 3, axis=-1)), axis=0)
         return np.concatenate([grid_rgb, grid_d], axis=1)
     if C == 3 and unnormalize is not None:
         mean, std = unnormalize["rgb"]
-        imgs = imgs * std + mean
+        imgs = (imgs - mean) / std
     if C == 1:
         imgs = np.repeat(imgs, 3, axis=-1)
     return np.concatenate(list(imgs), axis=0)

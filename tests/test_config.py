@@ -78,3 +78,17 @@ def test_config_flag_before_task(tmp_path):
     a = parse_args("scannet", ["--config", str(cfg), "train"])
     assert a.task == "train" and a.N_rand == 512
     assert a.config == str(cfg)
+
+
+def test_config_equals_form(tmp_path):
+    """'--config=path' must load the file like the two-token form — argparse
+    accepts the = form, so the pre-scan missing it would silently train with
+    defaults while args.config claims the file was used."""
+    cfg = tmp_path / "exp.txt"
+    cfg.write_text("N_rand = 512\nexpname = eqform\n")
+    a = parse_args("scannet", ["train", f"--config={cfg}"])
+    assert a.N_rand == 512 and a.expname == "eqform"
+    assert a.config == str(cfg)
+    # CLI still wins over the file
+    a2 = parse_args("scannet", ["train", f"--config={cfg}", "--N_rand", "64"])
+    assert a2.N_rand == 64

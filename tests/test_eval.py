@@ -85,3 +85,55 @@ def test_camera_latent_render_and_optimization():
     )
     assert emb.shape == (4,)
     assert np.isfinite(np.asarray(emb)).all()
+
+
+def test_embedded_cams_align_on_random_subset():
+    """render_images_with_metrics(count=K) draws a random image subset;
+    per-image camera latents must follow the image, not the loop counter —
+    rendering image i with embedded_cams aligned to `indices` must give the
+    same rgb whether i arrives via the full pass or the subset pass."""
+    from scade_tpu.eval.evaluate import render_images_with_metrics
+
+    rc = make_render_config(
+        multires=2, n_samples=4, n_importance=8, input_ch_cam=4
+    )
+    kc, kf = jax.random.split(jax.random.PRNGKey(0))
+    scene = SceneVars(
+        params_coarse=nerf_init(kc, rc.nerf_coarse),
+        params_fine=nerf_init(kf, rc.nerf_fine),
+        bb_center=jnp.zeros((3,)),
+        bb_scale=jnp.float32(0.5),
+        embedded_cam=jnp.zeros((4,), jnp.float32),
+    )
+    H = W = 8
+    n_img = 3
+    rng0 = np.random.default_rng(0)
+    images = rng0.uniform(0, 1, (n_img, H, W, 3)).astype(np.float32)
+    depths = np.ones((n_img, H, W, 1), np.float32)
+    valid = np.ones((n_img, H, W), bool)
+    poses = np.tile(np.eye(4, dtype=np.float32), (n_img, 1, 1))
+    intr = np.tile(np.array([8.0, 8.0, 4.0, 4.0], np.float32), (n_img, 1))
+    # distinct latents per image: misalignment changes the render
+    cams = np.linspace(-1.0, 1.0, n_img * 4).astype(np.float32).reshape(n_img, 4)
+
+    common = dict(
+        indices=np.arange(n_img), images=images, depths=depths,
+        valid_depths=valid, poses=poses, H=H, W=W, intrinsics=intr,
+        scene=scene, rc=rc.test_mode(), near=0.1, far=8.0, chunk=256,
+        verbose=False, embedded_cams=cams,
+    )
+    _, full = render_images_with_metrics(None, **common)
+    # rng seeded so the subset is a strict shuffle/subsample of indices
+    _, sub = render_images_with_metrics(
+        2, rng=np.random.default_rng(7), **common
+    )
+    # recover which images the subset pass rendered by matching targets
+    for k in range(2):
+        tgt = sub["target_rgbs"][k]
+        matches = [
+            i for i in range(n_img)
+            if np.array_equal(full["target_rgbs"][i], tgt)
+        ]
+        assert len(matches) == 1
+        i = matches[0]
+        np.testing.assert_array_equal(sub["rgbs"][k], full["rgbs"][i])

@@ -64,3 +64,50 @@ def test_resume_is_bitwise_deterministic(tmp_path):
         )
     np.testing.assert_array_equal(a["depth_scales"], b["depth_scales"])
     np.testing.assert_array_equal(a["depth_shifts"], b["depth_shifts"])
+
+
+def test_restore_survives_ss_opt_structure_drift(tmp_path):
+    """A leaf-count mismatch in ONE optimizer state (version-skewed ckpt)
+    must not crash the resume or depend on the other's match: the drifted
+    one reinitializes with its LR schedule fast-forwarded, the intact one
+    restores bitwise."""
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import torch
+
+    from scade_tpu.render.renderer import make_render_config
+    from scade_tpu.train.step import TrainConfig, create_train_state
+    from scade_tpu.utils.ckpt import restore_train_state, save_checkpoint
+
+    rc = make_render_config(multires=2, n_samples=4, n_importance=8)
+    tc = TrainConfig(n_rand=16)
+    state = create_train_state(jax.random.PRNGKey(0), rc, tc, n_images=2)
+    # make the moments distinguishable from fresh zeros
+    state = state._replace(
+        step=jnp.asarray(37, jnp.int32),
+        opt_state=jax.tree.map(
+            lambda x: x + 1 if x.dtype != jnp.int32 else x, state.opt_state
+        ),
+    )
+    path = str(tmp_path / "000037.tar")
+    save_checkpoint(path, state, rc)
+
+    # corrupt ONLY the ss_opt_state leaf structure in the saved file
+    raw = torch.load(path, map_location="cpu", weights_only=False)
+    leaves = jax.tree.leaves(raw["scade_tpu"]["ss_opt_state"])
+    raw["scade_tpu"]["ss_opt_state"] = {"drifted": leaves + leaves}
+    torch.save(raw, path)
+
+    fresh = create_train_state(jax.random.PRNGKey(1), rc, tc, n_images=2)
+    restored = restore_train_state(path, fresh, rc)
+    # the intact nerf optimizer state restored bitwise
+    for a, b in zip(jax.tree.leaves(restored.opt_state),
+                    jax.tree.leaves(state.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the drifted ss state reinitialized with its count fast-forwarded
+    counts = [
+        np.asarray(leaf) for leaf in jax.tree.leaves(restored.ss_opt_state)
+        if hasattr(leaf, "dtype") and leaf.dtype == jnp.int32
+        and leaf.shape == ()
+    ]
+    assert counts and all(int(c) == 37 for c in counts)

@@ -120,3 +120,32 @@ def test_missing_file_yields_zero_example(corpus):
     ex = ds[0]
     assert not ex["found"]
     assert (ex["rgbd"] == 0).all()
+
+
+def test_missing_depth_zero_fills(corpus, tmp_path):
+    """An annotation without 'depth_path' (or with a missing file) yields the
+    zeroed found=False example instead of crashing mid-epoch — the reference
+    zero-guards only the rgb read (:369-376) and TypeErrors in read_depth."""
+    ds_dir, db = corpus
+    anno_dir = tmp_path / "t" / "annotations"
+    anno_dir.mkdir(parents=True)
+    with open(os.path.join(ds_dir, "annotations",
+                           "train_annotations.json")) as f:
+        annos = json.load(f)
+    annos.append({"rgb_path": annos[0]["rgb_path"]})  # no depth_path
+    annos.append({"rgb_path": annos[1]["rgb_path"],
+                  "depth_path": "imgs/scene/depth/missing.png"})
+    # dataset resolves paths relative to <dataset_dir>/..; mirror that root
+    os.symlink(os.path.join(ds_dir, "..", "imgs"), tmp_path / "imgs")
+    os.symlink(db, tmp_path / "features.db")
+    with open(anno_dir / "train_annotations.json", "w") as f:
+        json.dump(annos, f)
+    ds = TaskonomyDataset(str(tmp_path / "t"), "train",
+                          str(tmp_path / "features.db"),
+                          load_size=(24, 32), missing_depth_percent=0.0,
+                          rng=np.random.default_rng(2))
+    for idx in (3, 4):
+        ex = ds[idx]
+        assert ex["found"] is False
+        assert not ex["rgbd"].any() and not ex["valid_depth"].any()
+    assert ds[0]["found"]

@@ -191,3 +191,45 @@ def test_step_timer_and_mean_tracker():
     assert grid.shape == (32, 8, 3)
     grid4 = make_image_grid(np.zeros((2, 8, 8, 4)))
     assert grid4.shape == (16, 16, 3)
+
+
+def test_make_image_grid_unnormalize_roundtrip():
+    """make_image_grid applies Normalize semantics (x-mean)/std to the
+    inverted params from get_pretrained_normalize()[1], so a normalized
+    batch comes back to the original pixel values (reference passes the
+    torchvision unnormalize transform, train_utils/logging.py:53-55)."""
+    import numpy as np
+
+    from scade_tpu.data.scannet_dataset import get_pretrained_normalize
+    from scade_tpu.utils.logging import make_image_grid
+
+    norm, unnorm = get_pretrained_normalize()
+    rng = np.random.default_rng(0)
+    rgb = rng.uniform(0, 1, (2, 4, 4, 3)).astype(np.float32)
+    mean, std = norm["rgb"]
+    rgb_n = (rgb - mean) / std
+    grid = make_image_grid(rgb_n, unnormalize=unnorm)
+    np.testing.assert_allclose(grid, np.concatenate(list(rgb), axis=0),
+                               rtol=0, atol=1e-5)
+
+    # rgbd: depth column passes through untouched
+    depth = rng.uniform(0, 1, (2, 4, 4, 1)).astype(np.float32)
+    rgbd_n = np.concatenate([rgb_n, depth], axis=-1)
+    grid4 = make_image_grid(rgbd_n, unnormalize=unnorm)
+    np.testing.assert_allclose(grid4[:, :4], np.concatenate(list(rgb), 0),
+                               rtol=0, atol=1e-5)
+    np.testing.assert_allclose(
+        grid4[:, 4:], np.concatenate(list(np.repeat(depth, 3, -1)), 0),
+        rtol=0, atol=1e-6)
+
+
+def test_read_depth_missing_file_returns_none(tmp_path):
+    """A missing/None depth path yields (None, None) instead of the
+    reference's TypeError crash (data/scannet_dataset.py:53-54), so dataset
+    __getitem__ can zero-fill the example."""
+    from scade_tpu.data.scannet_dataset import read_depth
+
+    d, v = read_depth(str(tmp_path / "nope.png"))
+    assert d is None and v is None
+    d2, v2 = read_depth(None)
+    assert d2 is None and v2 is None
