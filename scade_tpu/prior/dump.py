@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from scade_tpu.prior.data import FinetuneDataset, collate
+from scade_tpu.prior.data import FinetuneDataset
 from scade_tpu.prior.metrics import recover_metric_depth
 from scade_tpu.prior.model import prior_apply
 
@@ -40,15 +40,18 @@ def dump_depth_hypotheses(
     sfm_scaling_factor: float = 1000.0,
     sfm_far_clip: Optional[float] = None,
     compute_dtype: Optional[str] = None,
+    image_size: int = 448,
 ):
     """Write K aligned hypothesis .npy files per train image. Returns the
-    output directory."""
-    try:
-        import cv2
-    except ImportError:  # pragma: no cover
-        cv2 = None
+    output directory. `image_size` is the square crop the prior runs at —
+    it must match the resolution the model (and its AdaIn stats) was
+    trained with."""
+    import cv2  # unconditionally required: the hypothesis resize below
 
-    ds = FinetuneDataset(os.path.join(scene_dir, "train"), dataset_name)
+    ds = FinetuneDataset(
+        os.path.join(scene_dir, "train"), dataset_name,
+        crop_size=(image_size, image_size),
+    )
     out_dir = os.path.join(scene_dir, "train", "leres_cimle", dump_dir)
     os.makedirs(out_dir, exist_ok=True)
 
@@ -104,6 +107,13 @@ def dump_depth_hypotheses(
             hyps.extend(list(depth))
         hyps = hyps[:num_hypothesis]
 
+        if save_previews:
+            # loop-invariant over the K hypotheses: one decode per image,
+            # not K (output_depth_hypothesis_scannet.py:548-574)
+            from scade_tpu.prior.pointcloud import reconstruct_depth
+
+            rgb_raw = cv2.imread(ex.rgb_path)[:, :, ::-1]
+
         for k_i, hyp in enumerate(hyps):
             hyp_raw = cv2.resize(
                 hyp.astype(np.float32), (W_raw, H_raw),
@@ -117,7 +127,7 @@ def dump_depth_hypotheses(
                 os.path.join(out_dir, f"{img_id}_{k_i}.npy"),
                 aligned.astype(np.float32),
             )
-            if save_previews and cv2 is not None:
+            if save_previews:
                 prev = aligned - aligned.min()
                 prev = (prev / (prev.max() + 1e-8) * 255).astype(np.uint8)
                 cv2.imwrite(
@@ -126,9 +136,6 @@ def dump_depth_hypotheses(
                 )
                 # colored pointcloud side artifact
                 # (output_depth_hypothesis_scannet.py:548-574)
-                from scade_tpu.prior.pointcloud import reconstruct_depth
-
-                rgb_raw = cv2.imread(ex.rgb_path)[:, :, ::-1]
                 reconstruct_depth(
                     aligned, rgb_raw, out_dir, f"{img_id}_{k_i}_pcd",
                     focal=ex.focal_length,

@@ -373,6 +373,14 @@ def init_prior(key, cfg: PriorConfig, image_size=(448, 448), version: str = "v2"
     if cimle_version == "dec":
         model = DepthModelCIMLEDec(cfg, version=version)
     else:
+        if version not in ("v2", "v3"):
+            # the encoder AdaIn only special-cases v3 and would silently
+            # fall through to the v2 taps — an entire training run on the
+            # wrong architecture; v4-v6 are decoder tap schedules
+            raise ValueError(
+                f"encoder cIMLE supports version v2/v3, got {version!r}; "
+                "v4-v6 are Decoder_cIMLE schedules (use cimle_version='dec')"
+            )
         model = DepthModelCIMLE(cfg, version=version)
     x = jnp.zeros((1, image_size[0], image_size[1], 3), jnp.float32)
     z = jnp.zeros((1, cfg.d_latent), jnp.float32)

@@ -243,6 +243,12 @@ class InterleavedShardedSampler:
     - train order interleaves datasets round-robin [A0, B0, C0, A1, ...];
     - pad to a multiple of world size, then each rank takes a contiguous
       shard.
+
+    Deliberate deviation (PARITY.md #10): global offsets come from the
+    concatenated dataset's SIZE cumsum (`self.ds._cum`), not the reference's
+    max-index cumsum (:111-113) — the reference decodes through
+    ConcatDataset's size-based offsets, so its encode/decode disagree and
+    samples cross dataset boundaries.
     """
 
     def __init__(self, multi_dataset: MultipleDataset, num_replicas: int = 1,
@@ -256,6 +262,16 @@ class InterleavedShardedSampler:
         self.rng = rng or np.random.default_rng()
 
         sizes = self.ds._sizes
+        if (np.asarray(sizes) == 0).any():
+            # an empty member would spin _extended_indices forever (size 0
+            # never fills max_len); the reference at least crashes with a
+            # ZeroDivisionError (load_dataset_distributed.py:146) — fail
+            # loudly with the culprit instead
+            empty = [i for i, s in enumerate(np.asarray(sizes)) if s == 0]
+            raise ValueError(
+                f"empty member dataset(s) at index {empty}: every dataset "
+                "in a MultipleDataset needs at least one example"
+            )
         max_len = int(sizes.max())
         self._extended_len = (
             np.full(len(sizes), max_len) if split == "train" else sizes

@@ -68,25 +68,13 @@ def test_prior_to_nerf_pipeline(tmp_path):
     variables = {"params": params, "batch_stats": batch_stats}
 
     # --- 2. dump hypotheses from the trained prior ------------------------
-    import scade_tpu.prior.data as data_mod
-
-    orig_init = data_mod.FinetuneDataset.__init__
-
-    def small_init(self, *a, **k):
-        k["crop_size"] = (64, 64)
-        orig_init(self, *a, **k)
-
-    data_mod.FinetuneDataset.__init__ = small_init
-    try:
-        # num_hypothesis=3 with mini_batch_size=2 regression-covers the
-        # ceil num_sets fix (r3 review): integer division under-generated
-        # (2 of 3 hypotheses) for non-multiple K
-        out_dir = dump_depth_hypotheses(
-            model, variables, shifts, str(scene), "prior_dump",
-            d_latent=8, num_hypothesis=3, mini_batch_size=2,
-        )
-    finally:
-        data_mod.FinetuneDataset.__init__ = orig_init
+    # num_hypothesis=3 with mini_batch_size=2 regression-covers the
+    # ceil num_sets fix (r3 review): integer division under-generated
+    # (2 of 3 hypotheses) for non-multiple K
+    out_dir = dump_depth_hypotheses(
+        model, variables, shifts, str(scene), "prior_dump",
+        d_latent=8, num_hypothesis=3, mini_batch_size=2, image_size=64,
+    )
     assert len(os.listdir(out_dir)) == 6  # 2 images x 3 hypotheses
 
     # --- 3. NeRF training consumes the prior's hypotheses -----------------

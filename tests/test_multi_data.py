@@ -74,3 +74,29 @@ def test_training_stats_log(capsys):
         ts.LogIterStats(i, 0, lr=1e-3)
     out = capsys.readouterr().out
     assert "total_loss" in out and "mse" in out and "eta" in out
+
+
+def test_sampler_rejects_empty_member():
+    """An empty member dataset would spin _extended_indices forever (size 0
+    never fills max_len); the sampler must fail loudly naming the culprit
+    (the reference dies with a bare ZeroDivisionError,
+    load_dataset_distributed.py:146)."""
+    import pytest
+
+    md = MultiDataset([FakeDS("a", 3), FakeDS("b", 0)])
+    with pytest.raises(ValueError, match="index \\[1\\]"):
+        InterleavedShardedSampler(md, rng=np.random.default_rng(0))
+
+
+def test_init_prior_rejects_enc_v456():
+    """Encoder cIMLE only implements v2/v3 AdaIn taps; v4-v6 (decoder tap
+    schedules) must raise instead of silently training the v2 model."""
+    import jax
+    import pytest
+
+    from scade_tpu.prior.model import backbone_config, init_prior
+
+    cfg = backbone_config("resnet18", d_latent=4).with_small()
+    with pytest.raises(ValueError, match="v4-v6 are Decoder_cIMLE"):
+        init_prior(jax.random.PRNGKey(0), cfg, image_size=(32, 32),
+                   version="v5", cimle_version="enc")

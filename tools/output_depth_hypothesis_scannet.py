@@ -72,7 +72,7 @@ def main():
         jax.config.update("jax_default_matmul_precision", args.precision)
 
     from scade_tpu.prior.dump import dump_depth_hypotheses
-    from scade_tpu.prior.model import PriorConfig, backbone_config, init_prior
+    from scade_tpu.prior.model import backbone_config, init_prior
     from scade_tpu.prior.train import load_mean_var_adain
 
     cfg = backbone_config(args.backbone, d_latent=args.d_latent)
@@ -113,6 +113,7 @@ def main():
         sfm_scaling_factor=args.sfm_scaling_factor,
         sfm_far_clip=args.sfm_far_clip,
         compute_dtype=args.compute_dtype,
+        image_size=args.image_size,
     )
     print(f"hypotheses written to {out}")
 

@@ -24,20 +24,28 @@ from output_depth_hypothesis_scannet import main as scannet_main  # noqa: E402
 def main():
     argv = sys.argv[1:]
 
+    def have(flag):
+        # both argparse spellings: '--flag value' and '--flag=value' — the
+        # two-token check alone would append a default AFTER the user's
+        # '=' form value, and argparse lets the later occurrence win
+        return any(a == flag or a.startswith(flag + "=") for a in argv)
+
     def ensure(flag, value):
-        if flag not in argv:
-            argv.extend([flag, value])
+        # value is a thunk: scene jsons may lack the key it reads, which
+        # must not crash when the user supplied the flag explicitly
+        if not have(flag):
+            argv.extend([flag, str(value())])
 
     peek = argparse.ArgumentParser(add_help=False)
-    peek.add_argument("--scene_dir")
+    peek.add_argument("--scene_dir", required=True)
     known, _ = peek.parse_known_args(argv)
     with open(os.path.join(known.scene_dir, "transforms_train.json")) as fp:
         meta = json.load(fp)
 
-    ensure("--dataset_name", "processed")
-    ensure("--sfm_mask_threshold", "0.5")
-    ensure("--sfm_scaling_factor", str(meta["depth_scaling_factor"]))
-    ensure("--sfm_far_clip", str(meta["far"]))
+    ensure("--dataset_name", lambda: "processed")
+    ensure("--sfm_mask_threshold", lambda: "0.5")
+    ensure("--sfm_scaling_factor", lambda: meta["depth_scaling_factor"])
+    ensure("--sfm_far_clip", lambda: meta["far"])
     sys.argv = [sys.argv[0]] + argv
     scannet_main()
 

@@ -108,10 +108,9 @@ def main():
 
     from scade_tpu.prior.data import FinetuneDataset, collate
     from scade_tpu.prior.model import (
-        PriorConfig,
         backbone_config,
         init_prior,
-        zero_shifts,
+        zero_shifts_for,
     )
     from scade_tpu.prior.train import (
         PriorTrainConfig,
@@ -246,7 +245,7 @@ def main():
         pre_opt_state = pre_opt.init(variables["params"])
         pre_step_fn = make_step(pre_opt)
 
-    shifts = zero_shifts(cfg)
+    shifts = zero_shifts_for(model)
     mv_path = os.path.join(args.log_dir, "mean_var_adain.npy")
     selected_z = None
     for epoch in range(args.epochs):
