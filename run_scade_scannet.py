@@ -101,6 +101,18 @@ def main(variant: str = "scannet", argv=None):
         return
 
     # ---- test / test_opt / video: load newest ckpt, freeze params --------
+    import jax as _jax
+
+    if _jax.process_index() != 0:
+        # eval has no collectives (the sharded eval_mesh below is single-
+        # process only): extra hosts would each redundantly render the full
+        # split and race on the same metrics.txt/image/video writes
+        print(
+            f"process {_jax.process_index()}: eval tasks run on process 0 "
+            "only; exiting"
+        )
+        return
+
     import jax.numpy as jnp
 
     from scade_tpu.eval.evaluate import (

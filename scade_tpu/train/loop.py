@@ -33,6 +33,7 @@ from scade_tpu.train.step import (
 )
 from scade_tpu.utils.ckpt import (
     find_checkpoints,
+    load_params_from_checkpoint,
     restore_train_state,
     save_checkpoint,
 )
@@ -191,8 +192,23 @@ def train_nerf(scene, args):
         if not ckpts:
             raise FileNotFoundError(f"no ckpts in {args.pretrained_dir}")
         print(f"Warm-starting from {ckpts[-1]}")
-        state = restore_train_state(ckpts[-1], state, rc)
-        state = state._replace(step=jnp.zeros((), jnp.int32))
+        # weights + depth scales/shifts ONLY: the reference's warm start
+        # keeps the freshly-built optimizer (create_nerf constructs it new;
+        # the load_pretrained block loads just the state dicts,
+        # run_scade_scannet.py:906-938). Restoring the donor's optax state
+        # would carry its LR-schedule count (a donor past decay_step trains
+        # the whole new run at the decayed LR) and its Adam moments.
+        params, _, raw = load_params_from_checkpoint(ckpts[-1], rc)
+        kwargs = dict(params=params, step=jnp.zeros((), jnp.int32))
+        if "depth_scales" in raw:
+            kwargs["scales"] = jnp.asarray(
+                raw["depth_scales"], jnp.float32
+            ).reshape(state.scales.shape)
+        if "depth_shifts" in raw:
+            kwargs["shifts"] = jnp.asarray(
+                raw["depth_shifts"], jnp.float32
+            ).reshape(state.shifts.shape)
+        state = state._replace(**kwargs)
 
     # multi-device: shard the ray batch over a data mesh; params replicate
     # and XLA inserts psums over ICI (multi-host joins the same mesh after
@@ -233,8 +249,8 @@ def train_nerf(scene, args):
     # checkpoints/logs/test renders are written once
     is_primary = jax.process_index() == 0
     # the wild runner logs under runs_prior_corrected (run_scade_wild.py:842)
-    tb_root = "runs_prior_corrected" if getattr(args, "mask_edges", None) is not None \
-        else "runs"
+    tb_root = "runs_prior_corrected" \
+        if getattr(args, "variant", "scannet") == "wild" else "runs"
     tb = Writer(os.path.join(tb_root, args.expname)) if is_primary else None
     lpips_fn = LPIPSAlex()
 
@@ -253,6 +269,7 @@ def train_nerf(scene, args):
         i_val_local = np.arange(n_train)
 
     metrics = {}
+    _iimg_arrays = None  # lazily-built loop-invariant i_img render inputs
     for i in range(start + 1, tc.num_iterations + 1):
         state, metrics = step_fn(state, st, jax.random.fold_in(base_key, i))
 
@@ -282,23 +299,26 @@ def train_nerf(scene, args):
 
         if i % args.i_img == 0 and is_primary:
             sv = scene_vars(state.params)
-            # all of these already live on the host in `scene` — indexing
-            # there avoids re-fetching the (possibly hundreds of MB) image
-            # stack from the device at every i_img. Rows must align with
-            # st.images: train split then the substituted val split (test
-            # when i_val is empty) — mirror scene_tensors_from_scene
-            # (reference :843-847)
-            i_val_global = scene.i_val if len(scene.i_val) else scene.i_test
-            i_rel = (
-                np.concatenate([scene.i_train, i_val_global])
-                if len(i_val_global)
-                else scene.i_train
-            )
-            imgs_np = scene.images[i_rel]
-            depths_np = scene.depths[i_rel]
-            valid_np = scene.valid_depths[i_rel]
-            poses_np = scene.poses[i_rel]
-            intr_np = scene.intrinsics[i_rel]
+            if _iimg_arrays is None:
+                # all of these already live on the host in `scene` — indexing
+                # there avoids re-fetching the (possibly hundreds of MB)
+                # image stack from the device at every i_img; computed once,
+                # they are loop-invariant. Rows must align with st.images:
+                # train split then the substituted val split (test when
+                # i_val is empty) — mirror scene_tensors_from_scene
+                # (reference :843-847)
+                i_val_global = scene.i_val if len(scene.i_val) else scene.i_test
+                i_rel = (
+                    np.concatenate([scene.i_train, i_val_global])
+                    if len(i_val_global)
+                    else scene.i_train
+                )
+                _iimg_arrays = (
+                    scene.images[i_rel], scene.depths[i_rel],
+                    scene.valid_depths[i_rel], scene.poses[i_rel],
+                    scene.intrinsics[i_rel],
+                )
+            imgs_np, depths_np, valid_np, poses_np, intr_np = _iimg_arrays
             # 2 train renders → TB image grid (reference :1041-1048)
             _, images_train = render_images_with_metrics(
                 min(2, n_train), np.arange(n_train), imgs_np, depths_np,

@@ -297,14 +297,20 @@ def make_train_step(
                 norm_p=tc.norm_p,
                 threshold=tc.space_carving_threshold,
             )
+            sc_active = jnp.asarray(False)
             if tc.space_carving_weight > 0.0:
                 # active only after warm_start_nerf iters (:971-977)
-                w_sc = jnp.where(
-                    state.step + 1 > tc.warm_start_nerf, tc.space_carving_weight, 0.0
-                )
+                sc_active = state.step + 1 > tc.warm_start_nerf
+                w_sc = jnp.where(sc_active, tc.space_carving_weight, 0.0)
                 loss = loss + w_sc * sc_loss
 
-            metrics = {"img_loss": img_loss, "space_carving_loss": sc_loss}
+            # the reference logs a ZERO space_carving_loss while the term is
+            # inactive (warm phase / weight 0 — run_scade_scannet.py:972-977);
+            # match that so TB curves line up
+            metrics = {
+                "img_loss": img_loss,
+                "space_carving_loss": jnp.where(sc_active, sc_loss, 0.0),
+            }
             if has_fine:
                 if tc.mask_rgb and sc_mask is not None:
                     img_loss0 = jnp.mean(

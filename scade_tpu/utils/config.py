@@ -54,6 +54,10 @@ def build_parser(variant: str = "scannet") -> argparse.ArgumentParser:
     differs only in scaleshift_lr default and the mask_edges flag —
     run_scade_wild.py:1206,1220)."""
     p = argparse.ArgumentParser()
+    # record which runner built the args: downstream consumers (e.g. the
+    # wild runner's runs_prior_corrected TB root) branch on this instead of
+    # probing for variant-specific flags
+    p.set_defaults(variant=variant)
     p.add_argument("task", type=str,
                    help='one of: "train", "test", "test_opt", "video"')
     p.add_argument("--config", type=str, default=None, help="config file path")

@@ -9,6 +9,17 @@ import jax
 import pytest
 
 
+def _int_scalar_leaves(tree):
+    """Every () int32 leaf of a saved optax state (the Adam/schedule
+    counts)."""
+    import numpy as np
+
+    for leaf in jax.tree.leaves(tree):
+        a = np.asarray(leaf)
+        if a.shape == () and a.dtype == np.int32:
+            yield a
+
+
 def test_cli_train_multidevice(tmp_path):
     if len(jax.devices()) < 8:
         pytest.skip("needs the 8-device virtual CPU mesh")
@@ -165,6 +176,15 @@ def test_cli_warm_start_from_pretrained(tmp_path):
     w = np.asarray(warm["depth_scales"], np.float64).ravel()
     assert np.abs(w - d).max() < np.abs(d - 1.0).max() + 1e-8
     assert np.abs(d - 1.0).max() > 0  # the donor actually moved them
+
+    # the warm run starts with a FRESH optimizer (the reference's warm
+    # start never loads optimizer state, run_scade_scannet.py:906-938):
+    # its Adam count after 4 iters must be 4, not donor's 8 + 4 — a
+    # carried-over count would train the new run at the donor's decayed LR
+    warm_counts = [
+        int(x) for x in _int_scalar_leaves(warm["scade_tpu"]["opt_state"])
+    ]
+    assert warm_counts and all(c == 4 for c in warm_counts), warm_counts
 
     # resume beats warm start: rerunning the same command after an
     # interruption must continue from the run's own checkpoint (step 4),
