@@ -234,8 +234,10 @@ def ranking_edge_loss(key, pred, gt, rgb, mask_value=-1e-8, sigma=0.03,
 
         pf, gf = p.reshape(-1), g.reshape(-1)
         valid = gf > mask_value
-        # random pairs over valid gt (randomSampling :18-40)
-        ridx, _ = masked_sample(k_r, valid, 2 * 3 * n_anchors)
+        # random pairs over valid gt (randomSampling :18-40): the reference
+        # draws sample_num random pairs against 3*sample_num EGS pairs
+        # (:178-186), a 1:3 mixture in the combined mean
+        ridx, _ = masked_sample(k_r, valid, 2 * n_anchors)
         rA, rB = ridx[0::2], ridx[1::2]
         A = jnp.concatenate([A, rA])
         Bi = jnp.concatenate([Bi, rB])
@@ -425,7 +427,23 @@ def pwn_planes_loss(key, gt_depth, pred_depth, planes_mask, focal_length,
     B, H, W = pred_depth.shape[:3]
 
     def per_image(key, pred, planes, f):
-        xyz = depth_to_xyz(pred[None], f[None])[0].reshape(-1, 3)  # (P, 3)
+        # two coordinate systems, as in the reference (select_points_groups
+        # :167-183): the degenerate-group filter ALWAYS runs on normalized
+        # image coordinates (transfer_uvz :51-59 — u,v pixel offsets over
+        # max_uv, where delta_diff=0.007 ≈ 1.6 px at 448²), while the
+        # virtual normals use camera-frame xyz with |depth| in x/y
+        # (transfer_xyz :61-67 — abs keeps the lateral sign fixed when the
+        # scale/shift-aligned depth goes negative).
+        u = jnp.arange(W, dtype=jnp.float32)[None, :, None] - W // 2
+        v = jnp.arange(H, dtype=jnp.float32)[:, None, None] - H // 2
+        max_uv = jnp.max(u)
+        uvz = jnp.concatenate(
+            [jnp.broadcast_to(u / max_uv, (H, W, 1)),
+             jnp.broadcast_to(v / max_uv, (H, W, 1)), pred], axis=-1
+        ).reshape(-1, 3)
+        xyz = jnp.concatenate(
+            [u * jnp.abs(pred) / f, v * jnp.abs(pred) / f, pred], axis=-1
+        ).reshape(-1, 3)
         planes_flat = planes.reshape(-1)
 
         def per_plane(plane_key, plane_id):
@@ -435,17 +453,22 @@ def pwn_planes_loss(key, gt_depth, pred_depth, planes_mask, focal_length,
             p1 = xyz[idx[0::3]]
             p2 = xyz[idx[1::3]]
             p3 = xyz[idx[2::3]]
-            # validity: plane has enough support (select_index :72-107:
-            # planes with < 0.6*3*groups valid pixels are dropped — here:
-            # require a minimum pixel count)
-            plane_ok = n_valid >= 100
+            # validity: plane has enough support — the reference drops any
+            # plane with < 0.6*select_size valid pixels (select_index
+            # :82-85, valid_batch=False)
+            plane_ok = n_valid >= 0.6 * (3 * sample_groups)
 
-            # degenerate-triangle filter (filter_mask :140-166): reject
-            # near-collinear (cos > delta) or near-coincident (xy) groups
+            # degenerate-triangle filter (filter_mask :140-166) on the
+            # normalized uv coords: reject near-collinear (cos > delta) or
+            # near-coincident groups
+            q1 = uvz[idx[0::3]]
+            q2 = uvz[idx[1::3]]
+            q3 = uvz[idx[2::3]]
+
             def pairdiff(a, b):
                 return (a - b)[:, :2]
 
-            d12, d13, d23 = pairdiff(p2, p1), pairdiff(p3, p1), pairdiff(p3, p2)
+            d12, d13, d23 = pairdiff(q2, q1), pairdiff(q3, q1), pairdiff(q3, q2)
             diffs = jnp.stack([d12, d13, d23], 1)  # (N, 3, 2)
             norms = jnp.linalg.norm(diffs, axis=-1) + 1e-8
             cosm = jnp.einsum("nic,njc->nij", diffs, diffs) / (
@@ -503,7 +526,7 @@ def recover_scale_shift_depth(pred, gt, min_threshold=-1e-8, max_threshold=10.1)
     return pred * scale[:, None, None, None] + shift[:, None, None, None]
 
 
-def criterion(key, pred_depth, batch, loss_mode: str, input_size=(448, 448)):
+def criterion(key, pred_depth, batch, loss_mode: str):
     """ModelLoss.decoder_loss (multi_depth_model_auxiv2.py:209-341): assemble
     the active losses by substring match on loss_mode. batch: dict with
     'depth' (B,H,W,1), 'rgb' (B,H,W,3), 'planes' (B,H,W) int,

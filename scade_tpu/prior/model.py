@@ -53,7 +53,7 @@ class PriorConfig:
 
     def with_small(self):
         """A shape-compatible tiny model for CI (layers [1,1,1,1], width/8)."""
-        return dataclasses.replace(self, layers=(1, 1, 1, 1))
+        return dataclasses.replace(self, layers=(1, 1, 1, 1), small=True)
 
 
 # The reference encoder zoo (network_auxi.py:16-50 factories + Resnet.py

@@ -570,10 +570,12 @@ def pcd_uv_to_sparsetensor(pcd: np.ndarray, u_u0: np.ndarray,
 
 
 def refine_focal(depth: np.ndarray, focal: float, apply_fn, u0: float,
-                 v0: float) -> float:
+                 v0: float) -> Tuple[float, float]:
     """test_utils.py:90-119 (single-iteration loop, as shipped): predict a
     focal scale from the uv point cloud; `apply_fn(points) -> (1, 1)`
-    wraps spvcnn_apply with bound params."""
+    wraps spvcnn_apply with bound params. Returns (refined focal, scale) —
+    the reference returns only the scale (:119); the refined focal is an
+    API convenience."""
     u_u0, v_v0 = init_image_coor(depth.shape[0], depth.shape[1], u0, v0)
     pcd, mask_valid = depth_to_pcd(depth.copy(), u_u0, v_v0, f=focal)
     pts = pcd_uv_to_sparsetensor(pcd, u_u0, v_v0, mask_valid, f=focal,

@@ -308,3 +308,46 @@ def test_dump_tool_on_synthetic_scene(tmp_path, small_model):
         assert np.isfinite(b).all()
         denom = np.abs(a).mean() + 1e-6
         assert np.abs(a - b).mean() / denom < 0.05, f
+
+
+def test_pwn_planes_reference_semantics():
+    """Pins the reference PWNPlanesLoss behaviors restored in r3 review:
+    (a) a plane with < 0.6*3*sample_groups valid pixels is dropped
+    (select_index :82-85, valid_batch=False); (b) normals use |depth| in
+    x/y (transfer_xyz :61-63) so a sign-flipped planar depth is still a
+    plane; (c) non-planar depth scores worse than planar."""
+    key = jax.random.PRNGKey(0)
+    B, H, W = 1, 32, 48
+    f = jnp.full((B,), 250.0)
+    # one plane instance covering the full image
+    planes = jnp.ones((B, H, W), jnp.int32)
+    flat = jnp.full((B, H, W, 1), 3.0)
+    rng = np.random.default_rng(0)
+    bumpy = flat + jnp.asarray(
+        rng.uniform(-0.8, 0.8, (B, H, W, 1)), jnp.float32
+    )
+
+    groups = 64  # 0.6*3*64 = 115.2 <= H*W pixels available
+    l_flat = float(jnp.sum(L.pwn_planes_loss(key, flat, flat, planes, f,
+                                     sample_groups=groups)))
+    l_bumpy = float(jnp.sum(L.pwn_planes_loss(key, bumpy, bumpy, planes, f,
+                                      sample_groups=groups)))
+    assert l_flat < 1e-5
+    assert l_bumpy > l_flat + 1e-3
+
+    # (a) support threshold: a plane with too few pixels contributes zero
+    tiny = jnp.zeros((B, H, W), jnp.int32).at[:, :4, :4].set(1)  # 16 px
+    l_tiny = float(jnp.sum(L.pwn_planes_loss(key, bumpy, bumpy, tiny, f,
+                                     sample_groups=groups)))
+    assert l_tiny == 0.0
+
+    # (b) |depth|: a negated planar depth (scale/shift fits go negative)
+    # still forms a plane — without abs the x/y sign flip makes a fold
+    slope = flat + jnp.linspace(0, 1, W)[None, None, :, None]
+    l_pos = float(jnp.sum(L.pwn_planes_loss(key, slope, slope, planes, f,
+                                    sample_groups=groups)))
+    l_neg = float(jnp.sum(L.pwn_planes_loss(key, -slope, -slope, planes, f,
+                                    sample_groups=groups)))
+    # the sloped-depth surface is curved in xyz (x = u*d/f), so its loss
+    # is small but nonzero; the pinned property is exact sign-invariance
+    assert abs(l_pos - l_neg) < 1e-6
