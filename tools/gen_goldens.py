@@ -134,7 +134,6 @@ def main():
          **{"sd__" + k.replace(".", "__"): v for k, v in sd.items()})
 
     # --- compositing (raw2outputs / compute_weights) -------------------------
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__)))
     # raw2outputs lives in the runner; rebuild its math here with torch to pin
     # goldens without importing the runner's heavy deps. Formulas per
     # run_scade_scannet.py:511-562.

@@ -14,41 +14,16 @@ Run from the repo root with the reference mounted at /root/reference:
 
 import os
 import sys
-import types
 
 import numpy as np
 
 REF = os.environ.get("SCADE_REFERENCE", "/root/reference")
 OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "golden")
 
-
-def install_stubs():
-    """Stub the reference's unused heavy deps (configargparse, lpips,
-    skimage, torchvision) so run_scade_scannet imports on this image."""
-
-    def mod(name, **attrs):
-        m = types.ModuleType(name)
-        for k, v in attrs.items():
-            setattr(m, k, v)
-        sys.modules.setdefault(name, m)
-        return sys.modules[name]
-
-    mod("configargparse", ArgumentParser=object)
-    mod("lpips", LPIPS=object)
-    skm = mod("skimage.metrics", structural_similarity=lambda *a, **k: 0.0)
-    skio = mod("skimage.io", imread=lambda *a, **k: None)
-    sk = mod("skimage")
-    sk.metrics = skm
-    sk.io = skio
-    tv = mod("torchvision")
-    tv.utils = mod("torchvision.utils", make_grid=lambda *a, **k: None)
-    tv.transforms = mod(
-        "torchvision.transforms",
-        functional=types.SimpleNamespace(),
-        Normalize=lambda *a, **k: None,
-        Compose=lambda *a, **k: None,
-        ToTensor=lambda *a, **k: None,
-    )
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+# single source of truth for the reference-dependency stubs (the same
+# machinery run_reference_test.py imports) — drifting copies broke once
+from run_reference_training import install_stubs  # noqa: E402
 
 
 def main():

@@ -257,7 +257,7 @@ def main():
             dt = timeit_slope(body)
         else:
             fn = tiled(body)
-            dt = timeit(fn, scene, rays_o, rays_d)
+            dt = timeit(fn, scene, rays_o, rays_d, iters=args.iters)
         results[name] = dt
         print(f"{name:24s} {dt * 1e3:8.1f} ms   {B / dt / 1e3:8.1f}k rays/s",
               flush=True)

@@ -33,13 +33,15 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 DEFAULT_TOLS = {
-    "psnr": 0.5,       # dB
+    # keys must be the literal metrics.txt column names (ours:
+    # scade_tpu/eval/evaluate.py:119-126; reference:
+    # run_scade_scannet.py:345-352)
+    "psnr": 0.5,        # dB
     "ssim": 0.02,
-    "rmse": 0.05,      # meters (scene0758 depths are ~2-5 m)
+    "depth_rmse": 0.05,  # meters (scene0758 depths are ~2-5 m)
     "psnr0": 1.0,
     "img_loss": 0.01,
     "img_loss0": 0.01,
-    "mse0": 0.01,
     "lpips": 0.05,     # NaN-tolerated when weights are absent on either side
 }
 
@@ -108,11 +110,18 @@ def run_reference(root, scene_id, cimle_dir, ckpt_dir, expname,
     src = os.path.join(root, ckpt_dir, expname)
     dst = os.path.join(root, ckpt_dir, expname + "_ref")
     os.makedirs(dst, exist_ok=True)
-    for f in os.listdir(src):
+    # BOTH sides must evaluate the same checkpoint. Our loader takes the
+    # sorted-last of all .tar (utils/ckpt.py find_checkpoints); the
+    # reference takes the sorted-last of '000.tar'-matching names
+    # (run_scade_scannet.py:412-413). Copy exactly OUR pick, clear any
+    # stale copies from earlier runs, and give it a name the reference's
+    # filter accepts — one file in the dir leaves no room for skew.
+    for f in os.listdir(dst):
         if f.endswith(".tar"):
-            name = f if "000.tar" in f else "001000.tar"
-            if not os.path.exists(os.path.join(dst, name)):
-                shutil.copy(os.path.join(src, f), os.path.join(dst, name))
+            os.remove(os.path.join(dst, f))
+    newest = sorted(f for f in os.listdir(src) if f.endswith(".tar"))[-1]
+    name = newest if "000.tar" in newest else "001000.tar"
+    shutil.copy(os.path.join(src, newest), os.path.join(dst, name))
 
     cmd = [
         sys.executable, os.path.join(REPO, "tools", "run_reference_test.py"),
@@ -178,7 +187,14 @@ def main():
                     "(e.g. '--N_samples 8 --N_importance 16')")
     ap.add_argument("--tols", default=None,
                     help="JSON dict of per-metric tolerances")
+    ap.add_argument("--skip_metrics", default=None,
+                    help="comma-separated columns to exclude from the diff "
+                    "(e.g. 'ssim,lpips' when --ref_metrics came from the "
+                    "stubbed CPU reference, which reports both as 0)")
     args = ap.parse_args()
+    # child processes run with cwd=REPO — a cwd-relative root would
+    # validate here but resolve differently (or not at all) in them
+    args.root = os.path.abspath(args.root)
 
     scene, run_dir, ckpts, problems = validate_layout(
         args.root, args.scene_id, args.cimle_dir, args.ckpt_dir, args.expname
@@ -201,7 +217,9 @@ def main():
     print(f"\nours ({ours_path}): {ours}")
 
     ref_path = args.ref_metrics
-    skip = ()
+    skip = tuple(
+        s for s in (args.skip_metrics or "").split(",") if s
+    )
     if ref_path is None and args.run_reference:
         ref_path = run_reference(
             args.root, args.scene_id, args.cimle_dir, args.ckpt_dir,
@@ -209,7 +227,7 @@ def main():
             args.ref_extra.split() if args.ref_extra else [],
         )
         # the stubbed reference reports ssim=0 and lpips=0 — not comparable
-        skip = ("ssim", "lpips")
+        skip = tuple(set(skip) | {"ssim", "lpips"})
     if ref_path is None:
         print("\nno reference metrics to diff (pass --run_reference or "
               "--ref_metrics); ours-side render completed OK.")
