@@ -24,7 +24,9 @@ def add_missing_depth(key, depth, valid_depth, p: float = 0.1,
     p_inv = p_gap * n_pixels / jnp.maximum(n_valid, 1).astype(jnp.float32)
     drop = jax.random.uniform(key, depth.shape) < p_inv
     new_valid = valid & ~drop
-    new_depth = jnp.where(new_valid, depth, invalid_depth_value).astype(depth.dtype)
+    # ONLY drawn pixels are rewritten (reference :13-14 indexes by the
+    # draw): previously-invalid pixels keep whatever depth value they carry
+    new_depth = jnp.where(drop, invalid_depth_value, depth).astype(depth.dtype)
     return new_depth, new_valid
 
 

@@ -92,6 +92,11 @@ def render_images_with_metrics(
             scene, rc, H, W,
             jnp.asarray(intrinsics[img_idx]), jnp.asarray(poses[img_idx]),
             near, far, chunk=chunk, mesh=mesh,
+            # only the read maps: the per-sample leaves (z_vals/weights/
+            # pred_hyp, ~192 f32 per ray) would otherwise be stacked into
+            # HBM as jit outputs — ~1 GB per full-res image
+            outputs=("rgb_map", "depth_map", "rgb0", "depth0")
+            if has_fine else ("rgb_map", "depth_map"),
         )
         rgb = np.asarray(out["rgb_map"])
         depth = np.asarray(out["depth_map"])
@@ -207,6 +212,7 @@ def render_video(
             scene, rc, H, W,
             jnp.asarray(intrinsics[img_idx]), jnp.asarray(poses[img_idx]),
             near, far, chunk=chunk, with_5_9=True, mesh=mesh,
+            outputs=("rgb_map", "depth_map", "z_vals", "weights"),
         )
         rgb8 = to8b(np.asarray(out["rgb_map"]))
         frame = cv2.cvtColor(rgb8, cv2.COLOR_RGB2BGR)

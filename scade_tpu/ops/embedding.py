@@ -67,7 +67,11 @@ def positional_encoding(x: jnp.ndarray, emb: Embedder) -> jnp.ndarray:
     """Encode ``x[..., d]`` → ``[..., emb.out_dim]``."""
     if emb.identity or emb.num_freqs == 0:
         # multires == 0 collapses to include_input only (reference behavior:
-        # empty freq_bands leave just the identity term).
+        # empty freq_bands leave just the identity term) — and to an EMPTY
+        # feature vector when include_input is also off, keeping the output
+        # width equal to emb.out_dim for consumers that size layers from it
+        if emb.num_freqs == 0 and not emb.identity and not emb.include_input:
+            return x[..., :0]
         return x
     return _encode(x, emb)
 

@@ -417,7 +417,7 @@ import functools
 
 @functools.lru_cache(maxsize=32)
 def _image_render_fn(rc: RenderConfig, H: int, W: int, chunk: int,
-                     with_5_9: bool):
+                     with_5_9: bool, outputs: Optional[tuple] = None):
     """One jitted whole-image render per (config, shape): everything —
     ray-grid generation, tiling, the lax.map over chunks — compiles into a
     single program. Per-op eager dispatch is expensive on remote/tunneled
@@ -436,7 +436,7 @@ def _image_render_fn(rc: RenderConfig, H: int, W: int, chunk: int,
             rays_d = rays_d[:, start : start + w_out, :]
         out = render_ray_batch(
             scene, rc, rays_o.reshape(-1, 3), rays_d.reshape(-1, 3),
-            near, far, chunk=chunk,
+            near, far, chunk=chunk, outputs=outputs,
         )
         return jax.tree.map(
             lambda x: x.reshape((H, w_out) + x.shape[1:]), out
@@ -447,7 +447,8 @@ def _image_render_fn(rc: RenderConfig, H: int, W: int, chunk: int,
 
 @functools.lru_cache(maxsize=32)
 def _image_render_fn_sharded(rc: RenderConfig, H: int, W: int, chunk: int,
-                             with_5_9: bool, mesh):
+                             with_5_9: bool, mesh,
+                             outputs: Optional[tuple] = None):
     """Multi-device whole-image render: the flattened ray grid is split
     over EVERY mesh device with shard_map (rays are embarrassingly
     parallel — no collectives inside), params replicate. The reference
@@ -481,7 +482,8 @@ def _image_render_fn_sharded(rc: RenderConfig, H: int, W: int, chunk: int,
 
         def local(scene, ro, rd, near, far):
             return render_ray_batch(
-                scene, rc, ro, rd, near, far, chunk=min(chunk, per)
+                scene, rc, ro, rd, near, far, chunk=min(chunk, per),
+                outputs=outputs,
             )
 
         out = shard_map(
@@ -508,17 +510,24 @@ def render_image(
     chunk: int = 16384,
     with_5_9: bool = False,
     mesh=None,
+    outputs: Optional[tuple] = None,
 ):
     """Full-image deterministic render (reference render() with c2w
     :106-116). Returns the ret dict with (H, W, ...) leaves.
 
     ``mesh``: optional jax.sharding.Mesh — rays shard over all its
-    devices (see _image_render_fn_sharded); None renders on one device."""
+    devices (see _image_render_fn_sharded); None renders on one device.
+
+    ``outputs``: optional tuple of ret-dict keys to materialize. The jitted
+    whole-image program stacks EVERY returned leaf into (H, W, ...) HBM
+    buffers (jit outputs are not DCE'd), and the per-sample leaves
+    (z_vals/weights/pred_hyp/u, ~192 floats per ray) dominate — a full-res
+    eval that only reads rgb/depth wastes ~1 GB per image without this."""
     if mesh is not None and np.prod(list(mesh.shape.values())) > 1:
         fn = _image_render_fn_sharded(rc.test_mode(), H, W, chunk, with_5_9,
-                                      mesh)
+                                      mesh, outputs)
     else:
-        fn = _image_render_fn(rc.test_mode(), H, W, chunk, with_5_9)
+        fn = _image_render_fn(rc.test_mode(), H, W, chunk, with_5_9, outputs)
     return fn(
         scene, jnp.asarray(intrinsic), jnp.asarray(c2w),
         jnp.float32(near), jnp.float32(far),

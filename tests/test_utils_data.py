@@ -46,9 +46,18 @@ def test_error_sources(rng):
 def test_create_random_subsets():
     from scade_tpu.data.dataset_sampling import create_random_subsets
 
+    # reference random_split sizing (data/dataset_sampling.py:4-16): every
+    # subset gets >= subset_size samples — no short runt tail (the call
+    # site passes 2*N_rand as a minimum batch size)
     subsets = create_random_subsets(range(100), 32, np.random.default_rng(0))
-    assert [len(s) for s in subsets] == [32, 32, 32, 4]
+    assert [len(s) for s in subsets] == [33, 33, 34]
     assert sorted(np.concatenate(subsets).tolist()) == list(range(100))
+    # exact division: equal subsets, no +1 extras
+    even = create_random_subsets(range(96), 32, np.random.default_rng(0))
+    assert [len(s) for s in even] == [32, 32, 32]
+    # subset_size > N clamps to one subset of everything
+    one = create_random_subsets(range(10), 32, np.random.default_rng(0))
+    assert [len(s) for s in one] == [10]
 
 
 def test_depth_completion_helpers():
