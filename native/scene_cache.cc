@@ -92,7 +92,10 @@ void parallel_for(int64_t n, int n_threads, void (*fn)(int64_t, void*),
     }
   };
   std::vector<std::thread> pool;
-  const int t = n_threads > 0 ? n_threads : (int)std::thread::hardware_concurrency();
+  // hardware_concurrency() may legally return 0 (restricted cgroups);
+  // zero workers would leave every counts[] slot uninitialized garbage
+  const int hw = (int)std::thread::hardware_concurrency();
+  const int t = n_threads > 0 ? n_threads : (hw > 0 ? hw : 1);
   pool.reserve(t);
   for (int i = 0; i < t; ++i) pool.emplace_back(worker);
   for (auto& th : pool) th.join();
@@ -148,6 +151,29 @@ int64_t scade_npy_count(const char* path) {
   return ok < 0 ? -1 : n;
 }
 
+// Parallel header pre-pass: counts[i] = float count of paths[i] (-1 if
+// unsupported). On network filesystems the per-file open/parse round trip
+// is the latency the batch loader exists to hide — a serial Python
+// pre-pass would reintroduce it.
+int64_t scade_npy_count_batch(const char** paths, int64_t n, int64_t* counts,
+                              int n_threads) {
+  struct Ctx {
+    const char** paths;
+    int64_t* counts;
+  } ctx{paths, counts};
+  parallel_for(
+      n, n_threads,
+      [](int64_t i, void* c) {
+        auto* x = static_cast<Ctx*>(c);
+        x->counts[i] = scade_npy_count(x->paths[i]);
+      },
+      &ctx);
+  int64_t failures = 0;
+  for (int64_t i = 0; i < n; ++i)
+    if (counts[i] < 0) ++failures;
+  return failures;
+}
+
 // Parallel-load n .npy float32 files into `out`; `offsets[i]` is the float
 // offset of file i within `out` and `capacities[i]` the region's float
 // capacity; fills counts[i] with per-file float counts (-1 on failure,
@@ -181,9 +207,10 @@ int64_t scade_write_blob(const char* path, const float* data,
     offset += sz;
   }
   fwrite(data, sizeof(float), (size_t)offset, f);
-  const int64_t rc = ferror(f) ? -1 : 0;
-  fclose(f);
-  return rc;
+  // the final buffered flush happens inside fclose — a full disk surfaces
+  // there, so its return value is part of the success check
+  const bool bad = ferror(f) != 0;
+  return (fclose(f) != 0 || bad) ? -1 : 0;
 }
 
 // Read blob header: fills n_arrays; returns total float count or -1.

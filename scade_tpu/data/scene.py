@@ -212,7 +212,12 @@ def _load_hypotheses(basedir, cimle_dir, filenames, i_train, num_hypothesis, nea
     Loads all K x N_train files through the native parallel reader
     (scade_tpu/data/native_cache.py) when built — the serial Python loop is
     the cold-start bottleneck for big scenes — with a transparent numpy
-    fallback."""
+    fallback. A packed blob + sidecar index is cached next to the dump so a
+    warm restart (auto-reload of a 500k-step run re-loads the scene every
+    time) does ONE sequential read instead of K x N_train opens; the cache
+    self-invalidates when any .npy's (mtime, size) changes."""
+    import json as _json
+
     from scade_tpu.data import native_cache
 
     leres_dir = os.path.join(basedir, "train", "leres_cimle", cimle_dir)
@@ -224,14 +229,49 @@ def _load_hypotheses(basedir, cimle_dir, filenames, i_train, num_hypothesis, nea
         for idx in i_train
         for j in range(num_hypothesis)
     ]
-    flats = native_cache.load_npy_batch(paths)
+    if not paths:
+        return np.zeros((0, num_hypothesis, 0, 0, 1), np.float32)
     # recover (H, W) from the first file (all hypothesis maps share it)
     probe = np.load(paths[0], mmap_mode="r")
     H, W = probe.shape
+
+    blob = os.path.join(leres_dir, ".scade_hyp_cache.blob")
+    meta_path = blob + ".json"
+    meta = {
+        "files": [
+            [os.path.basename(p)] + list(_stat_sig(p)) for p in paths
+        ],
+        "shape": [H, W],
+    }
+    if os.path.exists(blob) and os.path.exists(meta_path):
+        try:
+            with open(meta_path) as fp:
+                if _json.load(fp) == meta:
+                    flats = native_cache.read_blob(blob)
+                    all_hyp = np.stack(flats, 0).reshape(
+                        len(i_train), num_hypothesis, H, W, 1
+                    )
+                    return np.clip(all_hyp, near, far)
+        except (IOError, OSError, ValueError):
+            pass  # stale/corrupt cache → reload from the .npy files
+
+    flats = native_cache.load_npy_batch(paths)
     all_hyp = np.stack(flats, 0).reshape(
         len(i_train), num_hypothesis, H, W, 1
     )
+    try:
+        native_cache.write_blob(blob, flats)
+        with open(meta_path + ".tmp", "w") as fp:
+            _json.dump(meta, fp)
+        os.replace(meta_path + ".tmp", meta_path)
+    except (IOError, OSError):
+        pass  # read-only dump dir: warm restarts just reload the files
     return np.clip(all_hyp, near, far)
+
+
+def _stat_sig(path):
+    st = os.stat(path)
+    return int(st.st_mtime_ns), int(st.st_size)
 
 
 def _load_scale_shift_init(basedir, scales_dir, filenames, i_train, gt_init):

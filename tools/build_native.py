@@ -1,27 +1,23 @@
 #!/usr/bin/env python
-"""Build the native C++ components (native/*.cc → scade_tpu/data/_native.so).
+"""Build the native C++ components (native/scene_cache.cc →
+scade_tpu/data/_native.so).
 
 Usage: python tools/build_native.py
+
+The g++ command lives in scade_tpu.data.native_cache.build() — the same
+function the library uses for its lazy auto-build, so manual and automatic
+builds can never diverge.
 """
 
 import os
-import subprocess
 import sys
 
-ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-SRC = os.path.join(ROOT, "native", "scene_cache.cc")
-OUT = os.path.join(ROOT, "scade_tpu", "data", "_native.so")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-
-def build():
-    cmd = [
-        "g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-        SRC, "-o", OUT,
-    ]
-    print(" ".join(cmd))
-    subprocess.run(cmd, check=True)
-    print(f"built {OUT}")
-
+from scade_tpu.data.native_cache import _LIB_PATH, build  # noqa: E402
 
 if __name__ == "__main__":
-    build()
+    if build():
+        print(f"built {_LIB_PATH}")
+    else:
+        sys.exit("build failed (g++ missing, source missing, or compile error)")
