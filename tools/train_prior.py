@@ -42,6 +42,11 @@ def main():
     ap.add_argument("--only_output_adain_init", action="store_true",
                     help="compute + save mean_var_adain.npy, then exit "
                          "(train_single.py --only_output_adain_init)")
+    ap.add_argument("--check_init", action="store_true",
+                    help="after AdaIn init, write the raw rgb + a rainbow "
+                         "depth map per z-draw for the first batch to "
+                         "log_dir, then exit (train_single.py CHECK_INIT "
+                         "debug block :417-468)")
     # pretraining input: taskonomy-style annotations corpora instead of a
     # single scene (reference --dataset multi --dataroot --dataset_list)
     ap.add_argument("--dataset", default="scene", choices=["scene", "multi"])
@@ -260,6 +265,44 @@ def main():
             print("AdaIn weights init done.")
             if args.only_output_adain_init:
                 print(f"--only_output_adain_init: wrote {mv_path}, exiting")
+                return
+            if args.check_init:
+                # sanity render of the freshly-initialized model: raw rgb +
+                # mini_batch_size rainbow depth maps for the first batch,
+                # then exit (reference train_single.py:417-468 CHECK_INIT)
+                import cv2
+                import jax.numpy as jnp
+                import matplotlib
+
+                from scade_tpu.prior.model import prior_inference
+
+                batch0 = next(iter(batches(1)))
+                rgb0 = np.asarray(batch0["rgb"][0])
+                rgb_img = 255 * (rgb0 - rgb0.min()) / (
+                    rgb0.max() - rgb0.min() + 1e-12
+                )
+                cv2.imwrite(os.path.join(args.log_dir, "image0-raw.png"),
+                            rgb_img.astype(np.uint8))
+                key, k = jax.random.split(key)
+                z = jax.random.normal(
+                    k, (tc.mini_batch_size, args.d_latent), jnp.float32
+                )
+                rgb_rep = jnp.repeat(
+                    jnp.asarray(batch0["rgb"][:1]), tc.mini_batch_size, 0
+                )
+                pred = np.asarray(prior_inference(
+                    model, variables, shifts, rgb_rep, z, rescaled=False
+                ))
+                cmap = matplotlib.colormaps["rainbow"]
+                for s in range(tc.mini_batch_size):
+                    d = pred[s].squeeze()
+                    d = (d - d.min()) / (d.max() - d.min() + 1e-12)
+                    img = (cmap(d)[..., :3][..., ::-1] * 255).astype(np.uint8)
+                    cv2.imwrite(
+                        os.path.join(args.log_dir, f"image0_0_{s}-depth.png"),
+                        img,
+                    )
+                print("Done with debug block.")
                 return
 
         if epoch % tc.refresh_z == 0:
