@@ -47,6 +47,10 @@ def main():
                          "depth map per z-draw for the first batch to "
                          "log_dir, then exit (train_single.py CHECK_INIT "
                          "debug block :417-468)")
+    ap.add_argument("--debug_mode", action="store_true",
+                    help="skip the expensive z-recache and train with "
+                         "zero z-codes (train_single.py --debug_mode "
+                         ":392,500-502)")
     # pretraining input: taskonomy-style annotations corpora instead of a
     # single scene (reference --dataset multi --dataroot --dataset_list)
     ap.add_argument("--dataset", default="scene", choices=["scene", "multi"])
@@ -305,7 +309,15 @@ def main():
                 print("Done with debug block.")
                 return
 
-        if epoch % tc.refresh_z == 0:
+        if args.debug_mode:
+            # caching takes time; debug with zero z-codes
+            # (train_single.py:500-502)
+            if selected_z is None:
+                n_total = sum(
+                    b["rgb"].shape[0] for b in batches(args.batchsize)
+                )
+                selected_z = np.zeros((n_total, args.d_latent), np.float32)
+        elif epoch % tc.refresh_z == 0:
             print("Recaching z-codes...")
             reshuffle()  # new visit order; z's are cached in this order
             key, k = jax.random.split(key)
