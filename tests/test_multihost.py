@@ -82,3 +82,62 @@ def test_two_process_multihost_train(tmp_path):
         assert json.load(f)["expname"] == "mh"
     tars = [f for f in os.listdir(run_dir) if f.endswith(".tar")]
     assert tars, f"no checkpoint written: {os.listdir(run_dir)}"
+
+
+def test_two_process_multihost_eval_runs_on_process0_only(tmp_path):
+    """A --multihost `test` task must render/write from process 0 only —
+    eval has no collectives, so extra hosts would redundantly render the
+    whole split and race on the same metrics/image files."""
+    scene_dir = tmp_path / "scene"
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "make_synthetic_scene.py"),
+         str(scene_dir)],
+        check=True, capture_output=True, cwd=REPO,
+    )
+    ckpt_dir = tmp_path / "ckpt"
+    common = [
+        "--data_dir", str(tmp_path), "--scene_id", "scene",
+        "--ckpt_dir", str(ckpt_dir), "--expname", "mhe",
+        "--cimle_dir", "dump", "--num_hypothesis", "2",
+        "--N_samples", "4", "--N_importance", "8", "--multires", "2",
+        "--netwidth", "16", "--netwidth_fine", "16",
+    ]
+    # single-process train to produce a checkpoint
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "run_scade_scannet.py"), "train",
+         "--num_iterations", "2", "--N_rand", "16", "--i_weights", "2",
+         "--i_img", "1000000", "--i_print", "2"] + common,
+        check=True, capture_output=True, cwd=REPO,
+        env=dict(os.environ, SCADE_PLATFORM="cpu"),
+    )
+
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = dict(
+            os.environ,
+            SCADE_PLATFORM="cpu",
+            SCADE_COORDINATOR=f"localhost:{port}",
+            SCADE_NUM_PROCESSES="2",
+            SCADE_PROCESS_ID=str(pid),
+        )
+        env["XLA_FLAGS"] = " ".join(
+            f for f in env.get("XLA_FLAGS", "").split()
+            if "host_platform_device_count" not in f
+        )
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "run_scade_scannet.py"),
+             "test", "--multihost"] + common,
+            env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        ))
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outs.append(out.decode())
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {pid} failed:\n{out[-3000:]}"
+    assert "eval tasks run on process 0 only" in outs[1]
+    assert "eval tasks run on process 0 only" not in outs[0]
+    metrics = ckpt_dir / "mhe" / "test_images_scene" / "metrics.txt"
+    assert metrics.exists() and "psnr" in metrics.read_text()
