@@ -488,7 +488,14 @@ def pwn_planes_loss(key, gt_depth, pred_depth, planes_mask, focal_length,
             w = group_ok.astype(jnp.float32)[:, None]
             aver = safe_normalize(jnp.sum(vn * w, 0), axis=0, eps=1e-10)
             cos_diff = jnp.where(group_ok, 1.0 - jnp.sum(vn * aver, -1), 0.0)
-            return jnp.sum(cos_diff), jnp.sum(w)
+            # a plane with < 2 surviving groups contributes NOTHING — not
+            # even to the global denominator (constrain_a_plane_loss
+            # :189-190 returns [0.0, 0])
+            keep = jnp.sum(group_ok) >= 2
+            return (
+                jnp.where(keep, jnp.sum(cos_diff), 0.0),
+                jnp.where(keep, jnp.sum(w), 0.0),
+            )
 
         plane_ids = jnp.arange(1, max_planes + 1)
         keys = jax.random.split(key, max_planes)

@@ -113,3 +113,84 @@ def test_recover_scale_shift_parity(torch_ref):
     np.testing.assert_allclose(
         ours, np.transpose(ref, (0, 2, 3, 1)), rtol=1e-3, atol=1e-4
     )
+
+
+def test_pwn_planes_parity(torch_ref):
+    """Exact-value parity for the PWN-planes loss with sampling aligned on
+    both sides: torch.randperm → arange makes the reference take the first
+    3*groups valid pixels per plane in row-major order; masked_sample is
+    monkeypatched to the same deterministic law. Pins the uvz-space filter,
+    the |depth| xyz transform, the <2-groups plane gate, and the global
+    denominator against the live reference module."""
+    import importlib
+
+    torch = pytest.importorskip("torch")
+    PWN = importlib.import_module("lib.models.PWN_planes")
+
+    B, H, W = 1, 32, 32
+    f = 300.0
+    groups = 16  # select_size 48 <= each plane's pixel count
+    rng = np.random.default_rng(0)
+    pred = rng.uniform(0.4, 6.0, (B, H, W, 1)).astype(np.float32)
+    pred[0, 5:7, 3:9, 0] *= -1.0  # negative region: exercises |depth| x/y
+    planes = np.zeros((B, H, W), np.int32)
+    planes[0, 2:10] = 1    # 256 px
+    planes[0, 14:24] = 2   # 320 px (distinct size keys the perm map)
+
+    # one fixed priority per pixel drives the "shuffle" on BOTH sides: the
+    # reference permutes its row-major valid list, we argsort valid pixels
+    # by the same priorities — identical groups. (A plain arange perm makes
+    # every group 3 consecutive pixels → collinear → all filtered.)
+    r_flat = rng.uniform(size=H * W).astype(np.float64)
+    perm_by_n = {}
+    for m in (1, 2):
+        vidx = np.flatnonzero(planes[0].ravel() == m)
+        perm_by_n[len(vidx)] = np.argsort(r_flat[vidx])
+
+    # ---- reference side (torch, CPU, deterministic randperm) -------------
+    ref_loss_mod = PWN.PWNPlanesLoss(
+        focal_x=f, focal_y=f, input_size=(H, W), sample_groups=groups,
+        xyz_mode="xyz",
+    )
+    orig_randperm = torch.randperm
+    torch.randperm = lambda n, *a, **k: torch.from_numpy(perm_by_n[int(n)])
+    try:
+        pred_t = torch.from_numpy(pred[0].transpose(2, 0, 1))  # (1, H, W)
+        mask_planes = torch.stack(
+            [torch.from_numpy((planes[0] == m)[None]) for m in (1, 2)], 0
+        )  # (x, 1, H, W)
+        pw_groups, mask_valid = ref_loss_mod.select_points_groups(
+            pred_t[None], mask_planes
+        )
+        ref_total, ref_count = 0.0, 0
+        for j in range(2):
+            l, n = ref_loss_mod.constrain_a_plane_loss(
+                pw_groups[j], mask_valid[j]
+            )
+            ref_total += float(l)
+            ref_count += int(n)
+        ref_val = ref_total / (ref_count + 1e-8)
+    finally:
+        torch.randperm = orig_randperm
+
+    # ---- our side (deterministic masked_sample: first-n valid, row-major)
+    r_j = jnp.asarray(r_flat)
+
+    def det_sample(key, mask_flat, n):
+        score = jnp.where(mask_flat, r_j, 2.0)  # valid pixels by priority
+        order = jnp.argsort(score)
+        return order[:n], jnp.sum(mask_flat) > 0
+
+    orig_sample = L.masked_sample
+    L.masked_sample = det_sample
+    try:
+        ours = float(jnp.sum(L.pwn_planes_loss(
+            jax.random.PRNGKey(0), jnp.asarray(pred), jnp.asarray(pred),
+            jnp.asarray(planes), jnp.full((B,), f), sample_groups=groups,
+            max_planes=4,
+        )))
+    finally:
+        L.masked_sample = orig_sample
+
+    assert ref_count > 0  # the comparison is non-vacuous
+    np.testing.assert_allclose(ours, ref_val, rtol=0, atol=2e-5)
