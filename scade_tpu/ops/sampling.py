@@ -281,12 +281,15 @@ def _lookup_masked(bins, cdf, u):
     return _interp(u, cdf_below, cdf_above, bins_below, bins_above)
 
 
-# The default implementation used by the renderer; SCADE_SAMPLE_PDF=onehot
-# flips it for A/B profiling. Measured on-chip (BASELINE.md r3): identical
-# at train scale (22.3 vs 22.8 ms/step); at full-render scale the masked
-# form wins clearly (200k vs 183k rays/s) — XLA fuses its compare+select+
-# reduce without materializing the (S, M) tile, while the one-hot operands
-# must hit HBM for the MXU (~1.6 GB per 8192-ray chunk).
+# The default implementation used by the renderer; SCADE_SAMPLE_PDF flips
+# it for A/B profiling. Measured on-chip (BASELINE.md r3): all forms are
+# within noise at train scale (sample_pdf bwd is ~0.1 ms of the 22.8 ms
+# step); at full-render scale the bucketed two-level CDF wins the bench
+# A/B (218.3k vs 215.7k rays/s masked — its level-2 reduce touches a
+# (S, 32) window instead of the full (S, M=191) tile at the P_depth
+# site), and the one-hot MXU form loses clearly (183k — its one-hot
+# operands must hit HBM, ~1.6 GB per 8192-ray chunk). All three are
+# bit-identical in values AND gradients (tests/test_sampling.py).
 import os as _os
 
 _IMPLS = {
@@ -294,7 +297,7 @@ _IMPLS = {
     "onehot": sample_pdf_onehot,
     "bucketed": sample_pdf_bucketed,
 }
-_ENV_IMPL = _os.environ.get("SCADE_SAMPLE_PDF", "masked")
+_ENV_IMPL = _os.environ.get("SCADE_SAMPLE_PDF", "bucketed")
 if _ENV_IMPL not in _IMPLS:
     raise ValueError(
         f"SCADE_SAMPLE_PDF={_ENV_IMPL!r}: expected one of {sorted(_IMPLS)}"
