@@ -47,6 +47,19 @@ def make_timer(iters, ks=(1, 4)):
     return timer
 
 
+def perturbed(x, salt, i, acc=None):
+    """x + tiny salt*i perturbation, cast to x.dtype. An f32 perturbation
+    would silently promote a bf16 x to f32 and crash the model at the first
+    conv ("arguments must have the same dtypes") — the round-3 harness bug
+    that killed every full-cast bf16 measurement (VERDICT r3 weak #1). The
+    optional acc*0.0 term keeps a data dependence between scan iterations
+    so XLA cannot hoist the chain."""
+    eps = (salt * 1e-9) * i
+    if acc is not None:
+        eps = eps + acc * 0.0
+    return x + eps.astype(x.dtype)
+
+
 def slope_time(fn, x, params, iters=6, ks=(2, 8)):
     """ms per single fn(x, params) application via the chained-scan slope
     protocol (one shared copy for the probe tools — keep measurement
@@ -57,8 +70,8 @@ def slope_time(fn, x, params, iters=6, ks=(2, 8)):
         @jax.jit
         def f(salt, x, params):
             def body(acc, i):
-                out = fn(x + (salt * 1e-9 + acc * 0.0) * i, params)
-                return acc + jnp.sum(out), None
+                out = fn(perturbed(x, salt, i, acc), params)
+                return acc + jnp.sum(out).astype(jnp.float32), None
 
             acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(k))
             return acc
@@ -86,8 +99,8 @@ def chain_of(apply_fn, x, k, *state):
     @jax.jit
     def f(salt, x, *state):
         def body(acc, i):
-            out = apply_fn(x + (salt * 1e-9) * i + acc * 0.0, *state)
-            return acc + jnp.sum(out), None
+            out = apply_fn(perturbed(x, salt, i, acc), *state)
+            return acc + jnp.sum(out).astype(jnp.float32), None
 
         acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(k))
         return acc
@@ -189,7 +202,7 @@ def ablate_train(args, model, variables, shifts, x, z, timer):
             @jax.jit
             def f(salt, params, batch_stats, x, target):
                 def body(acc, i):
-                    xx = x + (salt * 1e-9) * i + acc * 0.0
+                    xx = perturbed(x, salt, i, acc)
                     if train:
                         out, _ = model.apply(
                             {"params": params, "batch_stats": batch_stats},
@@ -232,7 +245,7 @@ def ablate_train(args, model, variables, shifts, x, z, timer):
 
                 def body(carry, i):
                     params, opt_state = carry
-                    xx = x + (salt * 1e-9) * i
+                    xx = perturbed(x, salt, i)
                     if mode == "dec_only":
                         # differentiate ONLY the non-encoder params: the
                         # encoder subtree enters as a closed-over constant,
@@ -372,7 +385,7 @@ def main():
 
             def body(carry, i):
                 params, opt_state = carry
-                xx = x + (salt * 1e-9) * i
+                xx = perturbed(x, salt, i)
                 (loss, _), grads = jax.value_and_grad(
                     loss_fn, has_aux=True)(params, xx)
                 updates, new_opt = tx.update(grads, opt_state, params)
