@@ -103,12 +103,14 @@ def main(variant: str = "scannet", argv=None):
     # ---- test / test_opt / video: load newest ckpt, freeze params --------
     import jax as _jax
 
-    if _jax.process_index() != 0:
-        # eval has no collectives (the sharded eval_mesh below is single-
-        # process only): extra hosts would each redundantly render the full
-        # split and race on the same metrics.txt/image/video writes
+    if _jax.process_index() != 0 and args.task == "test_opt":
+        # test_opt's per-image camera-latent optimization is a single-
+        # device program with host-side control flow; extra hosts would
+        # redundantly optimize and race on the latent files. Plain test/
+        # video DO run on every process below: rays shard over the global
+        # mesh, outputs all-gather, and only process 0 writes.
         print(
-            f"process {_jax.process_index()}: eval tasks run on process 0 "
+            f"process {_jax.process_index()}: test_opt runs on process 0 "
             "only; exiting"
         )
         return
@@ -130,11 +132,17 @@ def main(variant: str = "scannet", argv=None):
     import jax
 
     eval_mesh = None
-    if jax.device_count() > 1 and jax.process_count() == 1:
+    multihost = jax.process_count() > 1
+    if jax.device_count() > 1 and (not multihost or args.task != "test_opt"):
+        # test/video shard rays over the GLOBAL mesh (multihost included:
+        # every process renders its stripe, the renderer all-gathers the
+        # maps, process 0 writes). test_opt keeps its single-process path
+        # — non-0 processes exited above.
         from scade_tpu.parallel.mesh import make_mesh
 
         eval_mesh = make_mesh()
         print(f"Rendering sharded over {jax.device_count()} devices")
+    is_primary = jax.process_index() == 0
     ckpts = find_checkpoints(args.ckpt_dir, args.expname)
     if not ckpts:
         sys.exit(f"no checkpoints found in {args.ckpt_dir}/{args.expname}")
@@ -185,11 +193,14 @@ def main(variant: str = "scannet", argv=None):
             scene.H, scene.W, scene.intrinsics[i_test],
             sv, rc, scene.near, scene.far, chunk=args.chunk // 2,
             embedded_cams=embedded_cams, mesh=eval_mesh,
+            verbose=is_primary,
         )
-        write_images_with_metrics(
-            images_test, mean_metrics, scene.far, args.ckpt_dir,
-            args.expname, args.scene_id, with_test_time_optimization=with_opt,
-        )
+        if is_primary:
+            write_images_with_metrics(
+                images_test, mean_metrics, scene.far, args.ckpt_dir,
+                args.expname, args.scene_id,
+                with_test_time_optimization=with_opt,
+            )
     elif args.task == "video":
         i_video = scene.i_video
         render_video(

@@ -198,13 +198,22 @@ def render_video(
 ):
     """Spiral/trajectory video: every 3rd pose, 16:9 frames of
     [rgb | turbo(depth/far) | viridis(depth_std)] → ffmpeg mp4
-    (reference :236-264)."""
+    (reference :236-264).
+
+    Multihost: every process must call this (each renders its ray shard of
+    every frame; the renderer all-gathers the maps), but only process 0
+    touches the filesystem — frame writes, the encoder, and the directory
+    reset are all guarded here so call sites stay process-agnostic."""
     import cv2
 
+    import jax
+
+    is_primary = jax.process_index() == 0
     video_dir = os.path.join(ckpt_dir, expname, "video_" + filename)
-    if os.path.exists(video_dir):
-        shutil.rmtree(video_dir)
-    os.makedirs(video_dir, exist_ok=True)
+    if is_primary:
+        if os.path.exists(video_dir):
+            shutil.rmtree(video_dir)
+        os.makedirs(video_dir, exist_ok=True)
 
     max_depth_in_video = 0.0
     for img_idx in range(0, len(poses), every):
@@ -229,8 +238,11 @@ def render_video(
         frame = np.concatenate(
             (frame, cv2.applyColorMap(to8b(depth_std), cv2.COLORMAP_VIRIDIS)), 1
         )
-        cv2.imwrite(os.path.join(video_dir, f"{img_idx}.jpg"), frame)
+        if is_primary:
+            cv2.imwrite(os.path.join(video_dir, f"{img_idx}.jpg"), frame)
 
+    if not is_primary:
+        return None
     video_file = os.path.join(ckpt_dir, expname, filename + ".mp4")
     frame_names = sorted(
         (f for f in os.listdir(video_dir) if f.endswith(".jpg")),

@@ -284,20 +284,42 @@ def _lookup_masked(bins, cdf, u):
 # The default implementation used by the renderer; SCADE_SAMPLE_PDF flips
 # it for A/B profiling. Measured on-chip (BASELINE.md r3): all forms are
 # within noise at train scale (sample_pdf bwd is ~0.1 ms of the 22.8 ms
-# step); at full-render scale the bucketed two-level CDF wins the bench
-# A/B (218.3k vs 215.7k rays/s masked — its level-2 reduce touches a
-# (S, 32) window instead of the full (S, M=191) tile at the P_depth
-# site), and the one-hot MXU form loses clearly (183k — its one-hot
-# operands must hit HBM, ~1.6 GB per 8192-ray chunk). All three are
-# bit-identical in values AND gradients (tests/test_sampling.py).
+# step). At full-render scale the standalone probes split BY SITE
+# (/tmp/r3_pending.log, chained-scan slope): at the importance site
+# (M=63) masked wins 6.0 ms vs bucketed 13.3 ms, while at the P_depth
+# site (M=191) bucketed wins 15.3 ms vs masked 26.7 ms — its level-2
+# reduce touches a (S, 32) window instead of the full (S, M) tile, a
+# saving that only pays once M is well past 2*bucket. The "auto" default
+# therefore picks PER CALL SITE by the static bin count (masked at
+# M <= _AUTO_THRESHOLD, bucketed above); the round-3 global-bucketed
+# bench (218.3k rays/s) banked only the P_depth win and paid the
+# importance-site loss. The one-hot MXU form loses clearly everywhere
+# at render scale (183k — its one-hot operands must hit HBM, ~1.6 GB
+# per 8192-ray chunk). All three lowerings produce bit-identical VALUES
+# (tests/test_parity_ops.py::test_sample_pdf_bucketed_bit_identical);
+# gradients are equal up to subgradient tie choice at exact cdf ties
+# (allclose-tested, rtol=2e-5).
 import os as _os
+
+_AUTO_THRESHOLD = 128
+
+
+def sample_pdf_auto(bins, weights, u):
+    """Per-site lowering: masked below M = _AUTO_THRESHOLD bins, bucketed
+    above. The bin count is static at trace time, so this is a free
+    Python-level choice inside jit (one lowering per call site)."""
+    if bins.shape[-1] <= _AUTO_THRESHOLD:
+        return sample_pdf_masked(bins, weights, u)
+    return sample_pdf_bucketed(bins, weights, u)
+
 
 _IMPLS = {
     "masked": sample_pdf_masked,
     "onehot": sample_pdf_onehot,
     "bucketed": sample_pdf_bucketed,
+    "auto": sample_pdf_auto,
 }
-_ENV_IMPL = _os.environ.get("SCADE_SAMPLE_PDF", "bucketed")
+_ENV_IMPL = _os.environ.get("SCADE_SAMPLE_PDF", "auto")
 if _ENV_IMPL not in _IMPLS:
     raise ValueError(
         f"SCADE_SAMPLE_PDF={_ENV_IMPL!r}: expected one of {sorted(_IMPLS)}"
@@ -312,9 +334,12 @@ def sample_pdf(bins, weights, u):
     weights: (..., M-1) unnormalized probabilities per bin interval.
     u:       (..., S) uniform draws in [0, 1) (see ``draw_u``).
     Returns  (..., S) samples. Semantics match the reference sample_pdf
-    family (run_nerf_helpers.py:337-538) bit-for-bit; see
-    ``sample_pdf_masked`` / ``sample_pdf_onehot`` for the two TPU
-    formulations (identical values, different lowering).
+    family (run_nerf_helpers.py:337-538) bit-for-bit. Three TPU lowerings
+    produce identical values: ``sample_pdf_masked`` (full-tile VPU
+    compare+reduce), ``sample_pdf_onehot`` (one-hot MXU matmuls), and
+    ``sample_pdf_bucketed`` (two-level windowed CDF). The default picks
+    per call site by static bin count (``sample_pdf_auto``); set
+    SCADE_SAMPLE_PDF=masked|onehot|bucketed|auto to override globally.
     """
     return _DEFAULT_IMPL(bins, weights, u)
 

@@ -70,7 +70,11 @@ class RenderConfig:
     use_fused: bool = False
     fused_tile: int = 2048
     # inverse-CDF lookups via the Pallas sweep kernel (ops/fused_sampling.py);
-    # 1-ulp-identical to the XLA path, opt-in
+    # 1-ulp-identical to the XLA path, opt-in. Only compiles at M <= 128
+    # bins on TPU — the P_depth site (M=191, i.e. ANY reference-default
+    # config) raises a ValueError naming the limit instead of crashing the
+    # remote compiler; leave this off unless n_samples keeps every
+    # sample_pdf site at or below 128 bins.
     fused_sampling: bool = False
 
     def test_mode(self) -> "RenderConfig":
@@ -451,11 +455,16 @@ def _image_render_fn_sharded(rc: RenderConfig, H: int, W: int, chunk: int,
                              outputs: Optional[tuple] = None):
     """Multi-device whole-image render: the flattened ray grid is split
     over EVERY mesh device with shard_map (rays are embarrassingly
-    parallel — no collectives inside), params replicate. The reference
+    parallel — no collectives inside), params replicate, and the finished
+    maps are replicated back across the mesh (one all-gather of the small
+    output images) so EVERY process holds the assembled result — this is
+    what makes the path valid multihost: each host renders only its ray
+    shard and fetches the full image from its local devices. The reference
     evaluates on one GPU (run_scade_scannet.py:304-394); this is the
     TPU-native scale-out for test/video rendering, complementing the
     data-parallel train step (train/step.py)."""
     from jax.experimental.shard_map import shard_map
+    from jax.sharding import NamedSharding
     from jax.sharding import PartitionSpec as P
 
     n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
@@ -491,9 +500,14 @@ def _image_render_fn_sharded(rc: RenderConfig, H: int, W: int, chunk: int,
             in_specs=(P(), split, split, P(), P()),
             out_specs=split,
         )(scene, ro, rd, near, far)
-        return jax.tree.map(
+        res = jax.tree.map(
             lambda x: x[:n].reshape((H, w_out) + x.shape[1:]), out
         )
+        # replicate the assembled maps over the mesh: multihost processes
+        # can only fetch addressable shards, so without this each host
+        # would hold a horizontal stripe of the image. Single-process this
+        # is a cheap local all-gather of a few H*W maps.
+        return jax.lax.with_sharding_constraint(res, NamedSharding(mesh, P()))
 
     return fn
 

@@ -230,10 +230,11 @@ def train_nerf(scene, args):
             )
             tc = dataclasses.replace(tc, n_rand=new_n_rand)
         mesh = make_mesh()
-        # eval renders run on process 0 ONLY (is_primary guard below), so
-        # the sharded eval path is valid only when this process addresses
-        # the whole mesh — in multihost runs eval falls back to one device
-        eval_mesh = mesh if jax.process_count() == 1 else None
+        # eval renders shard over the FULL mesh, multihost included: every
+        # process calls the render (its devices compute a ray stripe, the
+        # renderer all-gathers the finished maps), and only process 0
+        # writes TB images / files below
+        eval_mesh = mesh
         print(f"Training data-parallel over {n_dev} devices")
         state = jax.device_put(state, state_shardings(state, mesh))
         st = jax.device_put(st, replicate(mesh))
@@ -297,7 +298,11 @@ def train_nerf(scene, args):
                 f"{m['space_carving_loss']:.6f}"
             )
 
-        if i % args.i_img == 0 and is_primary:
+        # multihost: every process must participate in the sharded eval
+        # renders (they contain cross-process collectives); non-primary
+        # processes render and discard — only is_primary writes TB/files
+        all_render = eval_mesh is not None and jax.process_count() > 1
+        if i % args.i_img == 0 and (is_primary or all_render):
             sv = scene_vars(state.params)
             if _iimg_arrays is None:
                 # all of these already live on the host in `scene` — indexing
@@ -320,34 +325,44 @@ def train_nerf(scene, args):
                 )
             imgs_np, depths_np, valid_np, poses_np, intr_np = _iimg_arrays
             # 2 train renders → TB image grid (reference :1041-1048)
+            # the subset rngs are seeded by the STEP, so every process draws
+            # the same image indices — a requirement when the render inputs
+            # feed cross-process collectives
             _, images_train = render_images_with_metrics(
                 min(2, n_train), np.arange(n_train), imgs_np, depths_np,
                 valid_np, poses_np, scene.H, scene.W, intr_np, sv, rc,
                 scene.near, scene.far, chunk=args.chunk // 2,
                 lpips_fn=lpips_fn, rng=np.random.default_rng(i),
-                mesh=eval_mesh,
+                mesh=eval_mesh, verbose=is_primary,
             )
-            tb.add_image("train_image", _tb_grid(images_train, with0=False), i)
             # val metrics + 8 val renders (reference :1050-1074)
             mean_val, images_val = render_images_with_metrics(
                 min(8, len(i_val_local)), i_val_local, imgs_np, depths_np,
                 valid_np, poses_np, scene.H, scene.W, intr_np, sv, rc,
                 scene.near, scene.far, chunk=args.chunk // 2,
                 lpips_fn=lpips_fn, rng=np.random.default_rng(i + 1),
-                mesh=eval_mesh,
+                mesh=eval_mesh, verbose=is_primary,
             )
-            tb.add_scalars("mse", {"val": mean_val.get("img_loss")}, i)
-            tb.add_scalars("psnr", {"val": mean_val.get("psnr")}, i)
-            tb.add_scalar("ssim", mean_val.get("ssim"), i)
-            tb.add_scalar("lpips", mean_val.get("lpips"), i)
-            if mean_val.has("depth_rmse"):
-                tb.add_scalar("depth_rmse", mean_val.get("depth_rmse"), i)
-            if mean_val.has("img_loss0"):
-                tb.add_scalars("mse0", {"val": mean_val.get("img_loss0")}, i)
-                tb.add_scalars("psnr0", {"val": mean_val.get("psnr0")}, i)
-            tb.add_image("val_image", _tb_grid(images_val, with0=True), i)
+            if is_primary:
+                tb.add_image(
+                    "train_image", _tb_grid(images_train, with0=False), i
+                )
+                tb.add_scalars("mse", {"val": mean_val.get("img_loss")}, i)
+                tb.add_scalars("psnr", {"val": mean_val.get("psnr")}, i)
+                tb.add_scalar("ssim", mean_val.get("ssim"), i)
+                tb.add_scalar("lpips", mean_val.get("lpips"), i)
+                if mean_val.has("depth_rmse"):
+                    tb.add_scalar("depth_rmse", mean_val.get("depth_rmse"), i)
+                if mean_val.has("img_loss0"):
+                    tb.add_scalars(
+                        "mse0", {"val": mean_val.get("img_loss0")}, i
+                    )
+                    tb.add_scalars(
+                        "psnr0", {"val": mean_val.get("psnr0")}, i
+                    )
+                tb.add_image("val_image", _tb_grid(images_val, with0=True), i)
 
-        if i == tc.num_iterations and is_primary:
+        if i == tc.num_iterations and (is_primary or all_render):
             sv = scene_vars(state.params)
             test_idx = np.arange(len(scene.i_test))
             mean_test, images_test = render_images_with_metrics(
@@ -356,12 +371,13 @@ def train_nerf(scene, args):
                 scene.valid_depths[scene.i_test], scene.poses[scene.i_test],
                 scene.H, scene.W, scene.intrinsics[scene.i_test],
                 sv, rc, scene.near, scene.far, chunk=args.chunk // 2,
-                lpips_fn=lpips_fn, mesh=eval_mesh,
+                lpips_fn=lpips_fn, mesh=eval_mesh, verbose=is_primary,
             )
-            write_images_with_metrics(
-                images_test, mean_test, scene.far, args.ckpt_dir,
-                args.expname, args.scene_id,
-            )
-            tb.flush()
+            if is_primary:
+                write_images_with_metrics(
+                    images_test, mean_test, scene.far, args.ckpt_dir,
+                    args.expname, args.scene_id,
+                )
+                tb.flush()
 
     return state

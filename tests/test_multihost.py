@@ -84,10 +84,11 @@ def test_two_process_multihost_train(tmp_path):
     assert tars, f"no checkpoint written: {os.listdir(run_dir)}"
 
 
-def test_two_process_multihost_eval_runs_on_process0_only(tmp_path):
-    """A --multihost `test` task must render/write from process 0 only —
-    eval has no collectives, so extra hosts would redundantly render the
-    whole split and race on the same metrics/image files."""
+def test_two_process_multihost_eval_shards_and_matches_single(tmp_path):
+    """A --multihost `test` task shards the ray grid over BOTH processes
+    (each renders its stripe, the renderer all-gathers the maps), only
+    process 0 writes, and the assembled outputs are BITWISE equal to a
+    single-process render of the same checkpoint (VERDICT r3 #7)."""
     scene_dir = tmp_path / "scene"
     subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "make_synthetic_scene.py"),
@@ -110,6 +111,26 @@ def test_two_process_multihost_eval_runs_on_process0_only(tmp_path):
         check=True, capture_output=True, cwd=REPO,
         env=dict(os.environ, SCADE_PLATFORM="cpu"),
     )
+
+    # oracle: single-process single-device render of the same ckpt
+    env1 = dict(os.environ, SCADE_PLATFORM="cpu")
+    env1["XLA_FLAGS"] = " ".join(
+        f for f in env1.get("XLA_FLAGS", "").split()
+        if "host_platform_device_count" not in f
+    )
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "run_scade_scannet.py"), "test"]
+        + common, check=True, capture_output=True, cwd=REPO, env=env1,
+    )
+    result_dir = ckpt_dir / "mhe" / "test_images_scene"
+    ref_metrics = (result_dir / "metrics.txt").read_bytes()
+    ref_depths = {
+        f: (result_dir / f).read_bytes()
+        for f in os.listdir(result_dir) if f.endswith("_d.png")
+    }
+    assert ref_depths and b"psnr" in ref_metrics
+    for f in os.listdir(result_dir):
+        os.remove(result_dir / f)
 
     port = _free_port()
     procs = []
@@ -137,7 +158,73 @@ def test_two_process_multihost_eval_runs_on_process0_only(tmp_path):
         outs.append(out.decode())
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {pid} failed:\n{out[-3000:]}"
-    assert "eval tasks run on process 0 only" in outs[1]
-    assert "eval tasks run on process 0 only" not in outs[0]
-    metrics = ckpt_dir / "mhe" / "test_images_scene" / "metrics.txt"
+    # both ranks took the sharded path (the old behavior printed
+    # "eval tasks run on process 0 only" on rank 1 and fell back)
+    assert "Rendering sharded over 2 devices" in outs[0]
+    assert "Rendering sharded over 2 devices" in outs[1]
+    assert "process 0 only" not in outs[1]
+
+    # process 0 reassembled the identical images: metrics text and the
+    # 16-bit depth PNGs are byte-equal to the single-process render
+    assert (result_dir / "metrics.txt").read_bytes() == ref_metrics
+    for f, ref in ref_depths.items():
+        assert (result_dir / f).read_bytes() == ref, f"{f} differs"
+
+
+def test_two_process_multihost_test_opt_runs_on_process0_only(tmp_path):
+    """test_opt keeps the process-0-only path: its per-image camera-latent
+    optimization is a single-device program, so extra hosts exit early."""
+    scene_dir = tmp_path / "scene"
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "make_synthetic_scene.py"),
+         str(scene_dir)],
+        check=True, capture_output=True, cwd=REPO,
+    )
+    ckpt_dir = tmp_path / "ckpt"
+    common = [
+        "--data_dir", str(tmp_path), "--scene_id", "scene",
+        "--ckpt_dir", str(ckpt_dir), "--expname", "mho",
+        "--cimle_dir", "dump", "--num_hypothesis", "2",
+        "--N_samples", "4", "--N_importance", "8", "--multires", "2",
+        "--netwidth", "16", "--netwidth_fine", "16",
+    ]
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "run_scade_scannet.py"), "train",
+         "--num_iterations", "2", "--N_rand", "16", "--i_weights", "2",
+         "--i_img", "1000000", "--i_print", "2"] + common,
+        check=True, capture_output=True, cwd=REPO,
+        env=dict(os.environ, SCADE_PLATFORM="cpu"),
+    )
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = dict(
+            os.environ,
+            SCADE_PLATFORM="cpu",
+            SCADE_COORDINATOR=f"localhost:{port}",
+            SCADE_NUM_PROCESSES="2",
+            SCADE_PROCESS_ID=str(pid),
+        )
+        env["XLA_FLAGS"] = " ".join(
+            f for f in env.get("XLA_FLAGS", "").split()
+            if "host_platform_device_count" not in f
+        )
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "run_scade_scannet.py"),
+             "test_opt", "--multihost"] + common,
+            env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        ))
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outs.append(out.decode())
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {pid} failed:\n{out[-3000:]}"
+    assert "test_opt runs on process 0 only" in outs[1]
+    assert "test_opt runs on process 0 only" not in outs[0]
+    metrics = (
+        ckpt_dir / "mho" / "test_images_with_optimization_scene"
+        / "metrics.txt"
+    )
     assert metrics.exists() and "psnr" in metrics.read_text()

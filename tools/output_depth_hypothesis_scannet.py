@@ -54,11 +54,17 @@ def main():
                          "SfM polyfit realigns every hypothesis, and the "
                          "reference itself runs TF32 on Ampere); 'highest' "
                          "restores exact f32")
-    ap.add_argument("--compute_dtype", default=None,
-                    choices=["bfloat16", "float32"],
+    ap.add_argument("--compute_dtype", default="bfloat16",
+                    choices=["bfloat16", "float32", "none"],
                     help="run the WHOLE forward (params + activations) in "
                          "this dtype — bfloat16 halves HBM traffic on top "
-                         "of --precision bfloat16's MXU fast path")
+                         "of --precision bfloat16's MXU fast path and is "
+                         "the DEFAULT (measured 10.53 vs 8.42 img/s dump "
+                         "rate at B=20 on chip; the SfM polyfit realigns "
+                         "every hypothesis downstream). 'none' keeps f32 "
+                         "params/activations (matmul precision still "
+                         "applies); combine 'none' with --precision "
+                         "highest for the exact-f32 path")
     args = ap.parse_args()
 
     if os.environ.get("SCADE_PLATFORM"):
@@ -112,7 +118,8 @@ def main():
         seed=args.seed_num, save_previews=args.save_previews,
         sfm_scaling_factor=args.sfm_scaling_factor,
         sfm_far_clip=args.sfm_far_clip,
-        compute_dtype=args.compute_dtype,
+        compute_dtype=None if args.compute_dtype == "none"
+        else args.compute_dtype,
         image_size=args.image_size,
     )
     print(f"hypotheses written to {out}")
