@@ -92,9 +92,17 @@ def nerf_init(key, cfg: NeRFConfig) -> Params:
     return params
 
 
-def _dense(x, layer, compute_dtype):
+def _dense(x, layer, compute_dtype, out_dtype=jnp.float32):
     # TPU f32 matmuls default to bf16 passes; force true f32 for parity mode.
     # bf16 compute keeps DEFAULT (single MXU pass) with f32 accumulation.
+    #
+    # out_dtype: hidden layers in bf16 mode pass bf16 here so ACTIVATIONS
+    # stay bf16 between layers — the MXU still accumulates f32 internally
+    # (preferred_element_type only sets the result store dtype), but the
+    # inter-layer HBM traffic halves. At W=256 the MLP working set is
+    # bandwidth-heavy: the pure-matmul chain probe measures ~2x between
+    # f32 and bf16 activations at identical bf16 matmul precision
+    # (tools/probe_mxu_floor.py, BASELINE.md r4). Head outputs keep f32.
     precision = (
         jax.lax.Precision.HIGHEST
         if compute_dtype == jnp.float32
@@ -103,10 +111,10 @@ def _dense(x, layer, compute_dtype):
     y = jnp.dot(
         x.astype(compute_dtype),
         layer["kernel"].astype(compute_dtype),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=out_dtype,
         precision=precision,
     )
-    return y + layer["bias"]
+    return y + layer["bias"].astype(out_dtype)
 
 
 def _softplus_beta10(x):
@@ -123,21 +131,27 @@ def nerf_apply(params: Params, cfg: NeRFConfig, x: jnp.ndarray) -> jnp.ndarray:
     Returns (..., 4): [rgb_logits..., softplus-density] (run_nerf_helpers.py:223-247).
     """
     cd = cfg.compute_dtype
+    # In bf16 mode the hidden ACTIVATIONS stay bf16 between layers (halved
+    # HBM traffic — the dominant cost at W=256; see _dense). Matmul
+    # accumulation is f32-internal on the MXU either way, and the head
+    # outputs (rgb logits, density pre-softplus) are produced in f32, so
+    # compositing/losses downstream are unchanged in dtype.
+    hd = jnp.bfloat16 if cd == jnp.bfloat16 else jnp.float32
     input_pts = x[..., : cfg.input_ch]
     input_views = x[..., cfg.input_ch :]
 
-    h = input_pts
+    h = input_pts.astype(hd)
     for i, layer in enumerate(params["pts_linears"]):
-        h = jax.nn.relu(_dense(h, layer, cd))
+        h = jax.nn.relu(_dense(h, layer, cd, out_dtype=hd))
         if i in cfg.skips:
-            h = jnp.concatenate([input_pts, h], axis=-1)
+            h = jnp.concatenate([input_pts.astype(hd), h], axis=-1)
 
     if cfg.use_viewdirs:
         alpha = _dense(h, params["alpha_linear"], cd)
-        feature = _dense(h, params["feature_linear"], cd)
-        h = jnp.concatenate([feature, input_views], axis=-1)
+        feature = _dense(h, params["feature_linear"], cd, out_dtype=hd)
+        h = jnp.concatenate([feature, input_views.astype(hd)], axis=-1)
         for layer in params["views_linears"]:
-            h = jax.nn.relu(_dense(h, layer, cd))
+            h = jax.nn.relu(_dense(h, layer, cd, out_dtype=hd))
         rgb = _dense(h, params["rgb_linear"], cd)
         return jnp.concatenate([rgb, _softplus_beta10(alpha)], axis=-1)
 

@@ -1,21 +1,22 @@
 """Attribute the render's MLP compute floor (VERDICT r3 next-round #5).
 
 The r3 all-live mlp-only floor is 233.8k rays/s × 403 MFLOP/ray ≈ 94
-TFLOP/s effective — against a nominal ~197 TFLOP/s v5e bf16 peak. This
-probe measures, in ONE session (so attachment variance cancels):
+TFLOP/s effective. The first run of this probe showed the round-1
+"47 TFLOP/s practical ceiling" was a PER-CALL-LATENCY artifact: the
+chained-slope ceiling measures ~200+ TFLOP/s (the actual v5e bf16 peak
+is 197), so the floor attribution question becomes: where does the
+MLP path lose its ~2x against pure-matmul speed?
 
-1. big-matmul ceiling: (65536, 2048) @ (2048, 2048) x4 chained — the
-   practical peak through this attachment;
-2. the renderer's actual MLP shape: 8-layer width-256 chains at several
-   batch sizes — W=256 MXU occupancy (a 256-wide matmul uses 2 of the
-   8 128x128 MXU tiles per pass unless XLA batches them);
-3. the same chain at widths 128/256/512/1024 — how much of the gap is
-   width, how much is the chain's serial dependency;
-4. W=256 with the PE-embedded input width (63) — the first layer's
-   skinny-K penalty.
+Leading hypothesis: activation DTYPE. The renderer runs f32 activations
+with bf16 MATMUL PRECISION (inputs are converted per-matmul, outputs
+written back f32) — at W=256 the working set is bandwidth-heavy and f32
+doubles every HBM byte. This probe A/Bs pure-bf16 vs f32-activations+
+bf16-precision chains at the renderer's shapes.
 
-All timings host-materialize one scalar; chained-scan slope removes
-per-call latency (protocol: tools/bench_prior.py).
+Timing: chained-scan slope with per-shape chain lengths sized so each
+chain body is >= ~80 ms of estimated work (short chains drown in
+dispatch noise — the first run measured NEGATIVE slopes on sub-ms
+bodies).
 """
 
 import argparse
@@ -32,20 +33,31 @@ import jax.numpy as jnp
 from bench_prior import make_timer  # noqa: E402
 
 
-def chain_flops_probe(timer, batch, width, depth, k_in=None, label=""):
+def chain_flops_probe(timer_factory, batch, width, depth, k_in=None,
+                      act_dtype=jnp.bfloat16, matmul_bf16=True, label="",
+                      iters=4):
     key = jax.random.PRNGKey(0)
     k_in = k_in or width
-    x = jax.random.normal(key, (batch, k_in), jnp.bfloat16) * 0.1
-    ws = [jax.random.normal(jax.random.fold_in(key, i),
-                            (k_in if i == 0 else width, width),
-                            jnp.bfloat16) * 0.05
+    x = (jax.random.normal(key, (batch, k_in)) * 0.1).astype(act_dtype)
+    ws = [(jax.random.normal(jax.random.fold_in(key, i),
+                             (k_in if i == 0 else width, width)) * 0.05
+           ).astype(act_dtype)
           for i in range(depth)]
+    prec = "bfloat16" if matmul_bf16 else "highest"
 
     def apply(xx, ws):
         h = xx
-        for w in ws:
-            h = jnp.maximum(h @ w, 0.0)
+        with jax.default_matmul_precision(prec):
+            for w in ws:
+                h = jnp.maximum(h @ w, 0.0)
         return h
+
+    flops = 2 * batch * (k_in * width + (depth - 1) * width * width)
+    # size the chain so one body is >= ~80 ms of work at an assumed
+    # 150 TFLOP/s (slope noise through the tunnel is ~1-2 ms)
+    est_s = flops / 150e12
+    k0 = max(2, int(0.08 / est_s))
+    ks = (k0, 4 * k0)
 
     def make(k):
         @jax.jit
@@ -60,29 +72,44 @@ def chain_flops_probe(timer, batch, width, depth, k_in=None, label=""):
 
         return lambda salt: f(salt, x, ws)
 
-    dt = timer(make, label or f"chain B={batch} W={width} D={depth} K0={k_in}")
-    flops = 2 * batch * (k_in * width + (depth - 1) * width * width)
+    timer = make_timer(iters, ks=ks)
+    dt = timer(make, label or
+               f"B={batch} W={width} D={depth} K0={k_in} "
+               f"act={jnp.dtype(act_dtype).name} ks={ks}")
     print(f"{'':42s} = {flops / dt / 1e12:6.1f} TFLOP/s", flush=True)
     return flops / dt
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--iters", type=int, default=4)
     args = ap.parse_args()
-    timer = make_timer(args.iters)
 
-    # 1. practical ceiling
-    chain_flops_probe(timer, 65536, 2048, 4, label="ceiling 65536x2048 D=4")
+    # 1. practical ceiling (pure bf16)
+    chain_flops_probe(None, 65536, 2048, 4, iters=args.iters,
+                      label="ceiling 65536x2048 D=4 bf16")
 
-    # 2-3. the renderer's MLP shape across widths and batches
+    # 2. the renderer's MLP shape: pure bf16 vs the production scheme
+    #    (f32 activations + bf16 matmul precision)
+    for act, mm, tag in ((jnp.bfloat16, True, "bf16 act"),
+                         (jnp.float32, True, "f32 act + bf16 mm"),
+                         (jnp.float32, False, "f32 act + f32 mm")):
+        chain_flops_probe(None, 131072, 256, 8, act_dtype=act,
+                          matmul_bf16=mm, iters=args.iters,
+                          label=f"W=256 D=8 B=131072 [{tag}]")
+
+    # 3. width sweep at pure bf16 (reliable chain lengths)
     for width in (128, 256, 512, 1024):
-        chain_flops_probe(timer, 65536, width, 8)
-    for batch in (8192, 32768, 131072, 524288):
-        chain_flops_probe(timer, batch, 256, 8)
+        chain_flops_probe(None, 131072, width, 8, iters=args.iters)
 
-    # 4. the production first layer: PE width 63 into 256
-    chain_flops_probe(timer, 131072, 256, 8, k_in=63)
+    # 4. batch (chunk-size) sweep at W=256 pure bf16: the renderer tiles
+    #    at chunk=8192 rays x 256 samples = ~2M points, but per lax.map
+    #    step the MLP batch is chunk*samples
+    for batch in (32768, 131072, 524288, 2097152):
+        chain_flops_probe(None, batch, 256, 8, iters=args.iters)
+
+    # 5. the production first layer: PE width 63 into 256
+    chain_flops_probe(None, 131072, 256, 8, k_in=63, iters=args.iters)
 
 
 if __name__ == "__main__":

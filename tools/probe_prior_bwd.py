@@ -161,11 +161,13 @@ def probe_bn(args, timer):
                 @jax.jit
                 def f(salt, params, bs, x):
                     def loss(p, xx):
-                        out = m.apply(
-                            {"params": p, "batch_stats": bs}, xx, train=True,
-                            mutable=["batch_stats"] if use_bn else [],
-                        )
-                        out = out[0] if use_bn else out
+                        if use_bn:
+                            out, _ = m.apply(
+                                {"params": p, "batch_stats": bs}, xx,
+                                train=True, mutable=["batch_stats"],
+                            )
+                        else:
+                            out = m.apply({"params": p}, xx, train=True)
                         return jnp.sum(out ** 2).astype(jnp.float32)
 
                     def body(acc, i):
