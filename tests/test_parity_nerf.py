@@ -87,5 +87,9 @@ def test_bfloat16_compute_close():
         params, dataclasses.replace(cfg, compute_dtype=jnp.bfloat16), x
     )
     raw_f32 = nerf_apply(params, cfg, x)
+    # head outputs stay f32 even with bf16 hidden activations (r4): the
+    # compositing/loss pipeline downstream is dtype-unchanged
+    assert raw_bf16.dtype == jnp.float32
+    assert raw_f32.dtype == jnp.float32
     # bf16 matmuls with f32 accumulation stay close on this depth of net
     assert float(jnp.max(jnp.abs(raw_bf16 - raw_f32))) < 0.15

@@ -83,7 +83,9 @@ def probe_conv_grads(args, timer):
     """fgc vs blockdiag vs hybrid (dense fwd/dgrad + fgc wgrad) at the two
     blockdiag-active shapes."""
     g = 32
-    for (H, C) in ((112, 256), (56, 512)):
+    # 28²x1024 is layer3's shape — 23 blocks, kept on the fgc lowering by
+    # the H*W >= 56² blockdiag gate; its BACKWARD was never probed.
+    for (H, C) in ((112, 256), (56, 512), (28, 1024), (14, 2048)):
         B = args.batch
         key = jax.random.PRNGKey(0)
         x = (jax.random.normal(key, (B, H, H, C)) * 0.1).astype(args.dtype)

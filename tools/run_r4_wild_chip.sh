@@ -13,7 +13,7 @@ timeout 10800 python run_scade_wild.py train \
   --data_dir /tmp --scene_id hh32_scene --ckpt_dir "$CKPT" \
   --expname wild_r4 --num_iterations 2000 --N_rand 1024 \
   --N_samples 64 --N_importance 128 --num_hypothesis 20 \
-  --cimle_dir dump --mask_edges true \
+  --cimle_dir dump --mask_edges true --compute_dtype bfloat16 \
   --i_weights 2000 --i_img 1000000 --i_print 200
 
 timeout 7200 python run_scade_wild.py video \
