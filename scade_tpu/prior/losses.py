@@ -53,22 +53,47 @@ def safe_normalize(v, axis=-1, eps: float = 1e-12):
     return v * jax.lax.rsqrt(jnp.sum(v**2, axis=axis, keepdims=True) + eps)
 
 
+_SAMPLE_BLOCK = 512
+
+
 def masked_sample(key, mask_flat, n: int):
     """n i.i.d. uniform draws over indices where mask_flat (bool, (P,)) is
     True — the static-shape replacement for randperm-over-masked_select.
     Returns (idx (n,), any_valid ()).
 
-    Implemented as inverse-CDF over the mask's cumsum (O(P + n log P));
+    Implemented as inverse-CDF over the mask's cumsum;
     jax.random.categorical would materialize an (n, P) Gumbel tensor —
-    terabytes at 448x448 x 15k draws."""
+    terabytes at 448x448 x 15k draws.
+
+    The search is two-level "bucketed" (same pattern as
+    ops/sampling.py sample_pdf_bucketed) instead of jnp.searchsorted's
+    log2(P)-round binary search: each binary-search round is a batched
+    SCALAR random gather (4 useful bytes per ~512-byte TPU memory
+    transaction, latency-chained across rounds), whereas one vectorized
+    compare against the (P/512,) block-last table plus one CONTIGUOUS
+    512-wide row gather does the same search with two memory-friendly
+    steps. searchsorted(cdf, u, side='right') == #{i : cdf[i] <= u}; the
+    block decomposition #{blocks fully <= u}*512 + #{in-block <= u} is
+    exact because cdf is non-decreasing, so the result is bit-identical
+    to the old lowering (cdf values are exact f32 integers for
+    P < 2^24)."""
+    P = mask_flat.shape[0]
     w = mask_flat.astype(jnp.float32)
     cdf = jnp.cumsum(w)
     total = cdf[-1]
     any_valid = total > 0
     u = jax.random.uniform(key, (n,)) * jnp.maximum(total, 1.0)
-    # first index with cdf > u lands only on mask==True pixels
-    idx = jnp.searchsorted(cdf, u, side="right")
-    return jnp.clip(idx, 0, mask_flat.shape[0] - 1), any_valid
+    blk = _SAMPLE_BLOCK
+    nblk = -(-P // blk)
+    # +inf padding never counts as <= u and pins the last block's
+    # block-last to +inf, so the row index below never overflows
+    cdf2d = jnp.pad(cdf, (0, nblk * blk - P),
+                    constant_values=jnp.inf).reshape(nblk, blk)
+    block_last = cdf2d[:, -1]
+    bi = jnp.sum(block_last <= u[:, None], axis=-1)  # (n,) block index
+    rows = cdf2d[bi]  # (n, blk) contiguous row gather
+    idx = bi * blk + jnp.sum(rows <= u[:, None], axis=-1)
+    return jnp.clip(idx, 0, P - 1), any_valid
 
 
 def sobel_edges(img_2d):
@@ -344,24 +369,17 @@ def pwn_edge_loss(key, pred_ss, gt, rgb, focal_length, mask_value=-1e-8,
         edges_img, thetas_img = sobel_edges(im[..., 0])
 
         # edges of the gt normal map (getNormalEdge :155-167): mean over
-        # channels of per-channel |sobel| gradients
+        # channels of per-channel |sobel| gradients — one conv call with
+        # the 3 normal channels as batch and (kx, ky) as output features
         kx = jnp.asarray([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], jnp.float32)
         ky = jnp.asarray([[1, 2, 1], [0, 0, 0], [-1, -2, -1]], jnp.float32)
-
-        def conv_valid_c(x2d, k):
-            return jax.lax.conv_general_dilated(
-                x2d[None, :, :, None], k[:, :, None, None], (1, 1), "VALID",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )[0, :, :, 0]
-
-        gxm = jnp.mean(
-            jnp.stack([jnp.abs(conv_valid_c(n_g[..., c], kx)) for c in range(3)]),
-            axis=0,
-        )
-        gym = jnp.mean(
-            jnp.stack([jnp.abs(conv_valid_c(n_g[..., c], ky)) for c in range(3)]),
-            axis=0,
-        )
+        g_ch = jax.lax.conv_general_dilated(
+            jnp.moveaxis(n_g, -1, 0)[..., None],  # (3, H, W, 1)
+            jnp.stack([kx, ky], -1)[:, :, None, :],  # (3, 3, 1, 2)
+            (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )  # (3, H-2, W-2, 2)
+        gxm = jnp.mean(jnp.abs(g_ch[..., 0]), axis=0)
+        gym = jnp.mean(jnp.abs(g_ch[..., 1]), axis=0)
         edges_normal = jnp.pad(jnp.sqrt(gxm**2 + gym**2), ((1, 1), (1, 1)))
         thetas_normal = jnp.pad(jnp.arctan2(gym, gxm), ((1, 1), (1, 1)))
 
@@ -434,25 +452,28 @@ def pwn_planes_loss(key, gt_depth, pred_depth, planes_mask, focal_length,
         # virtual normals use camera-frame xyz with |depth| in x/y
         # (transfer_xyz :61-67 — abs keeps the lateral sign fixed when the
         # scale/shift-aligned depth goes negative).
-        u = jnp.arange(W, dtype=jnp.float32)[None, :, None] - W // 2
-        v = jnp.arange(H, dtype=jnp.float32)[:, None, None] - H // 2
-        max_uv = jnp.max(u)
-        uvz = jnp.concatenate(
-            [jnp.broadcast_to(u / max_uv, (H, W, 1)),
-             jnp.broadcast_to(v / max_uv, (H, W, 1)), pred], axis=-1
-        ).reshape(-1, 3)
-        xyz = jnp.concatenate(
-            [u * jnp.abs(pred) / f, v * jnp.abs(pred) / f, pred], axis=-1
-        ).reshape(-1, 3)
+        #
+        # Neither coordinate field is materialized: only the depth SCALAR
+        # is gathered at the sampled pixels and u,v are recomputed from the
+        # flat index — the camera transforms are elementwise, so this is
+        # bit-identical to gathering precomputed (P, 3) uvz/xyz fields
+        # while cutting the gather (and its backward scatter-add, the
+        # dominant cost of this loss's gradient) from 3-vectors to scalars
+        # and skipping the uv gather entirely.
+        max_uv = jnp.float32(W - 1 - W // 2)
+        pred_flat = pred.reshape(-1)
         planes_flat = planes.reshape(-1)
 
         def per_plane(plane_key, plane_id):
             mask = (planes_flat == plane_id) & (plane_id > 0)
             n_valid = jnp.sum(mask)
             idx, _ = masked_sample(plane_key, mask, 3 * sample_groups)
-            p1 = xyz[idx[0::3]]
-            p2 = xyz[idx[1::3]]
-            p3 = xyz[idx[2::3]]
+            uu = (idx % W).astype(jnp.float32) - W // 2
+            vv = (idx // W).astype(jnp.float32) - H // 2
+            z = pred_flat[idx]  # the only differentiable gather
+            xyz = jnp.stack(
+                [uu * jnp.abs(z) / f, vv * jnp.abs(z) / f, z], axis=-1)
+            p1, p2, p3 = xyz[0::3], xyz[1::3], xyz[2::3]
             # validity: plane has enough support — the reference drops any
             # plane with < 0.6*select_size valid pixels (select_index
             # :82-85, valid_batch=False)
@@ -460,15 +481,12 @@ def pwn_planes_loss(key, gt_depth, pred_depth, planes_mask, focal_length,
 
             # degenerate-triangle filter (filter_mask :140-166) on the
             # normalized uv coords: reject near-collinear (cos > delta) or
-            # near-coincident groups
-            q1 = uvz[idx[0::3]]
-            q2 = uvz[idx[1::3]]
-            q3 = uvz[idx[2::3]]
+            # near-coincident groups. Pure index math — z drops out of the
+            # reference's filter too (it slices [:, :2]).
+            quv = jnp.stack([uu / max_uv, vv / max_uv], axis=-1)
+            q1, q2, q3 = quv[0::3], quv[1::3], quv[2::3]
 
-            def pairdiff(a, b):
-                return (a - b)[:, :2]
-
-            d12, d13, d23 = pairdiff(q2, q1), pairdiff(q3, q1), pairdiff(q3, q2)
+            d12, d13, d23 = q2 - q1, q3 - q1, q3 - q2
             diffs = jnp.stack([d12, d13, d23], 1)  # (N, 3, 2)
             norms = jnp.linalg.norm(diffs, axis=-1) + 1e-8
             cosm = jnp.einsum("nic,njc->nij", diffs, diffs) / (

@@ -72,6 +72,32 @@ def test_model_shapes_and_z_sensitivity(small_model):
     assert [a.shape[-1] for a in acts] == [64, 256, 512, 1024]
 
 
+def test_masked_sample_bucketed_matches_searchsorted():
+    """masked_sample's two-level bucketed search must be bit-identical to
+    the plain searchsorted(cdf, u, 'right') lowering it replaced, across
+    P below/above/misaligned-with the 512 block size and the all-invalid
+    mask edge case."""
+    for seed, P in enumerate([7, 511, 512, 513, 5000, 200704]):
+        key = jax.random.PRNGKey(seed)
+        rng = np.random.default_rng(seed)
+        mask = jnp.asarray(rng.uniform(size=P) < 0.3)
+        n = 257
+        idx, ok = L.masked_sample(key, mask, n)
+        # reference lowering, same RNG stream
+        w = mask.astype(jnp.float32)
+        cdf = jnp.cumsum(w)
+        u = jax.random.uniform(key, (n,)) * jnp.maximum(cdf[-1], 1.0)
+        ref = jnp.clip(jnp.searchsorted(cdf, u, side="right"), 0, P - 1)
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref))
+        assert bool(ok) == bool(mask.any())
+        if bool(ok):
+            assert np.asarray(mask)[np.asarray(idx)].all()
+    # all-invalid mask: clip law, any_valid False
+    idx, ok = L.masked_sample(jax.random.PRNGKey(0), jnp.zeros(100, bool), 9)
+    assert not bool(ok)
+    assert (np.asarray(idx) == 99).all()
+
+
 def test_losses_sane():
     key = jax.random.PRNGKey(0)
     rng = np.random.default_rng(0)

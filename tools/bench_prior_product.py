@@ -13,6 +13,14 @@ tunnel); first two calls discarded as compile+warm.
 
 Usage: python tools/bench_prior_product.py [--batch 20]
        [--compute_dtype bfloat16] [--precision bfloat16]
+       [--terms full|mae|plane,edge,...]
+
+--terms ablates the criterion INSIDE the product step (attribution of
+the composition overhead: criterion-alone 328 ms + proxy-step 409.5 ms
+!= 1327 ms product step as measured in round 4): "mae" swaps the
+criterion for the same masked-MAE proxy tools/bench_prior.py uses,
+otherwise a comma list of {plane, edge, ranking, ilnr, msgil} builds
+the loss_mode substring.
 """
 
 import argparse
@@ -36,19 +44,45 @@ def main():
     ap.add_argument("--precision", default="bfloat16")
     ap.add_argument("--compute_dtype", default=None,
                     choices=["bfloat16", "float32"])
+    ap.add_argument("--terms", default="full")
     args = ap.parse_args()
     jax.config.update("jax_default_matmul_precision", args.precision)
 
     from scade_tpu.prior.model import DepthModelCIMLE, PriorConfig, zero_shifts
+    import scade_tpu.prior.train as train_mod
     from scade_tpu.prior.train import (
         PriorTrainConfig,
         make_prior_optimizer,
         make_train_step,
     )
 
+    TERM_SUBSTR = {
+        "plane": "_pairwise-normal-regress-plane_",
+        "edge": "_pairwise-normal-regress-edge_",
+        "ilnr": "_meanstd-tanh_",
+        "ranking": "_ranking-edge_",
+        "msgil": "_msgil-normal_",
+    }
+    if args.terms == "full":
+        loss_mode = PriorTrainConfig().loss_mode
+    elif args.terms == "mae":
+        loss_mode = "_mae-proxy_"
+
+        def proxy_criterion(key, pred, batch, mode):
+            # the masked-MAE proxy tools/bench_prior.py measures, in the
+            # criterion's (loss_dict, per-image totals) contract
+            per_img = jnp.mean(
+                jnp.abs(pred - batch["depth"]), axis=(1, 2, 3))
+            return {"total_loss": jnp.sum(per_img)}, per_img
+
+        train_mod.criterion = proxy_criterion
+    else:
+        loss_mode = "".join(TERM_SUBSTR[t] for t in args.terms.split(","))
+
     cfg = PriorConfig(d_latent=32)
     model = DepthModelCIMLE(cfg)
-    tc = PriorTrainConfig(compute_dtype=args.compute_dtype)
+    tc = PriorTrainConfig(compute_dtype=args.compute_dtype,
+                          loss_mode=loss_mode)
     S, B = args.image_size, args.batch
     key = jax.random.PRNGKey(0)
     rng = np.random.default_rng(0)
@@ -77,7 +111,7 @@ def main():
     step = make_train_step(model, tc, opt)
 
     print(f"product step: B={B}, compute_dtype={args.compute_dtype}, "
-          f"matmul={args.precision}", flush=True)
+          f"matmul={args.precision}, terms={args.terms}", flush=True)
     # compile + warm (donation: rebind every call)
     for _ in range(2):
         params, batch_stats, opt_state, total, loss_dict = step(
