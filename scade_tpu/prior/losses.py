@@ -350,6 +350,93 @@ def surface_normal_from_depth(depth, focal_length, valid_mask=None):
 # ---------------------------------------------------------------------------
 
 
+@jax.custom_vjp
+def _pair_cos(n_hwc, a, b):
+    """|dot(n[a], n[b])| over (H, W, 3) normal-field rows at flat indices
+    a, b — the differentiable gathers of pwn_edge_loss (PWN_edges.py
+    :193-245). Row-gather FORWARD (one (n, 3) gather each; the channel-
+    plane slice a plain gather avoids is a lane-unaligned relayout),
+    per-channel scalar scatter-add BACKWARD (three (P,) scatter-adds
+    instead of one (P, 3) row scatter-add). Same-session product-step
+    A/B at B=20 448² bf16: full criterion 604.4 → 582.0 ms, edge-only
+    438.4 → 420.5 ms (BASELINE.md round 4). Values match the naive
+    formulation bitwise; gradients bitwise for collision-free indices
+    and to f32 rounding when indices repeat (scatter accumulation
+    order) — tests/test_prior.py
+    ::test_pwn_edge_scalar_gather_matches_row_gather."""
+    nf = n_hwc.reshape(-1, 3)
+    return jnp.abs(jnp.sum(nf[a] * nf[b], -1))
+
+
+def _pair_cos_fwd(n_hwc, a, b):
+    nf = n_hwc.reshape(-1, 3)
+    na, nb = nf[a], nf[b]
+    s = jnp.sum(na * nb, -1)
+    return jnp.abs(s), (na, nb, jnp.sign(s), a, b, n_hwc.shape)
+
+
+def _pair_cos_bwd(res, gy):
+    na, nb, sgn, a, b, shape = res
+    g = gy * sgn
+    planes = []
+    for c in range(3):
+        p = jnp.zeros((shape[0] * shape[1],), na.dtype)
+        p = p.at[a].add(g * nb[:, c])
+        p = p.at[b].add(g * na[:, c])
+        planes.append(p)
+    dn = jnp.stack(planes, -1).reshape(shape)
+    return (dn,
+            np.zeros(a.shape, jax.dtypes.float0),
+            np.zeros(b.shape, jax.dtypes.float0))
+
+
+_pair_cos.defvjp(_pair_cos_fwd, _pair_cos_bwd)
+
+
+def pwn_edge_maps(im, n_g, g):
+    """The deterministic edge maps of EdgeguidedNormalRegressionLoss.forward
+    (PWN_edges.py:171-192) for ONE image: RGB sobel edges (getEdge :139-153,
+    red channel), gt-normal-map edges (getNormalEdge :155-167 — mean over
+    channels of per-channel |sobel| gradients, one conv call with the 3
+    normal channels as batch and (kx, ky) as output features), the 5-px
+    border zeroing of the normal edges (:183-185), and the dilated gt-depth
+    edge mask zeroing both maps (:186-192). im: (H, W, 3) rgb; n_g: (H, W, 3)
+    gt normals; g: (H, W, 1) gt depth. → (edges_img, thetas_img,
+    edges_normal, thetas_normal), each (H, W). Golden-tested against the
+    live reference in tests/test_prior_losses_golden.py."""
+    H, W = im.shape[:2]
+    edges_img, thetas_img = sobel_edges(im[..., 0])
+
+    kx = jnp.asarray([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], jnp.float32)
+    ky = jnp.asarray([[1, 2, 1], [0, 0, 0], [-1, -2, -1]], jnp.float32)
+    g_ch = jax.lax.conv_general_dilated(
+        jnp.moveaxis(n_g, -1, 0)[..., None],  # (3, H, W, 1)
+        jnp.stack([kx, ky], -1)[:, :, None, :],  # (3, 3, 1, 2)
+        (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )  # (3, H-2, W-2, 2)
+    gxm = jnp.mean(jnp.abs(g_ch[..., 0]), axis=0)
+    gym = jnp.mean(jnp.abs(g_ch[..., 1]), axis=0)
+    edges_normal = jnp.pad(jnp.sqrt(gxm**2 + gym**2), ((1, 1), (1, 1)))
+    thetas_normal = jnp.pad(jnp.arctan2(gym, gxm), ((1, 1), (1, 1)))
+
+    # zero normal edges at image border (PWN_edges.py:183-185)
+    border = jnp.ones((H, W), bool)
+    border = border.at[5:-5, 5:-5].set(False)
+    edges_normal = jnp.where(border, 0.0, edges_normal)
+
+    # dilated gt-depth edges mask zeroes both edge maps (:186-192)
+    edges_depth, _ = sobel_edges(g[..., 0])
+    depth_edge_mask = edges_depth >= 0.1 * jnp.max(edges_depth)
+    dil = jax.lax.reduce_window(
+        depth_edge_mask.astype(jnp.float32), 0.0, jax.lax.add,
+        (3, 3), (1, 1), [(1, 1), (1, 1)],
+    )
+    dil = jnp.clip(dil, 0, 1) > 0
+    edges_normal = jnp.where(dil, 0.0, edges_normal)
+    edges_img = jnp.where(dil, 0.0, edges_img)
+    return edges_img, thetas_img, edges_normal, thetas_normal
+
+
 def pwn_edge_loss(key, pred_ss, gt, rgb, focal_length, mask_value=-1e-8,
                   cos_theta1=0.3, cos_theta2=0.95, n_anchors: int = 3000):
     """EdgeguidedNormalRegressionLoss (PWN_edges.py:104-245): normals from
@@ -362,55 +449,25 @@ def pwn_edge_loss(key, pred_ss, gt, rgb, focal_length, mask_value=-1e-8,
     normals_pred = surface_normal_from_depth(pred_ss, focal_length, masks)
     normals_gt = surface_normal_from_depth(gt, focal_length, masks)
 
-    kernel3 = jnp.ones((3, 3), jnp.float32)
-
     def per_image(key, n_p, n_g, im, g):
         k1, k2, k3 = jax.random.split(key, 3)
-        edges_img, thetas_img = sobel_edges(im[..., 0])
-
-        # edges of the gt normal map (getNormalEdge :155-167): mean over
-        # channels of per-channel |sobel| gradients — one conv call with
-        # the 3 normal channels as batch and (kx, ky) as output features
-        kx = jnp.asarray([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], jnp.float32)
-        ky = jnp.asarray([[1, 2, 1], [0, 0, 0], [-1, -2, -1]], jnp.float32)
-        g_ch = jax.lax.conv_general_dilated(
-            jnp.moveaxis(n_g, -1, 0)[..., None],  # (3, H, W, 1)
-            jnp.stack([kx, ky], -1)[:, :, None, :],  # (3, 3, 1, 2)
-            (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )  # (3, H-2, W-2, 2)
-        gxm = jnp.mean(jnp.abs(g_ch[..., 0]), axis=0)
-        gym = jnp.mean(jnp.abs(g_ch[..., 1]), axis=0)
-        edges_normal = jnp.pad(jnp.sqrt(gxm**2 + gym**2), ((1, 1), (1, 1)))
-        thetas_normal = jnp.pad(jnp.arctan2(gym, gxm), ((1, 1), (1, 1)))
-
-        # zero normal edges at image border (PWN_edges.py:183-185)
-        border = jnp.ones((H, W), bool)
-        border = border.at[5:-5, 5:-5].set(False)
-        edges_normal = jnp.where(border, 0.0, edges_normal)
-
-        # dilated gt-depth edges mask zeroes both edge maps (:186-192)
-        edges_depth, _ = sobel_edges(g[..., 0])
-        depth_edge_mask = edges_depth >= 0.1 * jnp.max(edges_depth)
-        dil = jax.lax.reduce_window(
-            depth_edge_mask.astype(jnp.float32), 0.0, jax.lax.add,
-            (3, 3), (1, 1), [(1, 1), (1, 1)],
-        )
-        dil = jnp.clip(dil, 0, 1) > 0
-        edges_normal = jnp.where(dil, 0.0, edges_normal)
-        edges_img = jnp.where(dil, 0.0, edges_img)
+        edges_img, thetas_img, edges_normal, thetas_normal = pwn_edge_maps(
+            im, n_g, g)
 
         A1, B1 = _edge_guided_pairs(k1, edges_img, thetas_img, H, W, n_anchors, 3, 20)
         A2, B2 = _edge_guided_pairs(k2, edges_normal, thetas_normal, H, W, n_anchors, 3, 20)
         A = jnp.concatenate([A1, A2])
         Bi = jnp.concatenate([B1, B2])
 
-        np_f = n_p.reshape(-1, 3)
         ng_f = n_g.reshape(-1, 3)
         m_f = g.reshape(-1) > mask_value
 
+        # The pred-normal gathers are the only differentiable ones; _pair_cos
+        # keeps the cheap row-gather forward but routes the backward through
+        # per-channel scalar scatter-adds (see its docstring).
         cons = (m_f[A] & m_f[Bi]).astype(jnp.float32)
         t_cos = jnp.abs(jnp.sum(ng_f[A] * ng_f[Bi], -1))
-        i_cos = jnp.abs(jnp.sum(np_f[A] * np_f[Bi], -1))
+        i_cos = _pair_cos(n_p, A, Bi)
 
         m75 = (t_cos < cos_theta1).astype(jnp.float32) * cons
         m10 = (t_cos > cos_theta2).astype(jnp.float32) * cons
@@ -421,7 +478,7 @@ def pwn_edge_loss(key, pred_ss, gt, rgb, focal_length, mask_value=-1e-8,
         ridx, _ = masked_sample(k3, m_f, 4 * n_anchors)
         rA, rB = ridx[0::2], ridx[1::2]
         rt = jnp.abs(jnp.sum(ng_f[rA] * ng_f[rB], -1))
-        ri = jnp.abs(jnp.sum(np_f[rA] * np_f[rB], -1))
+        ri = _pair_cos(n_p, rA, rB)
         l_rand = jnp.mean(jnp.abs(rt - ri))
         return l75 + l10 + l_rand
 

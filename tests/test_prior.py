@@ -377,3 +377,57 @@ def test_pwn_planes_reference_semantics():
     # the sloped-depth surface is curved in xyz (x = u*d/f), so its loss
     # is small but nonzero; the pinned property is exact sign-invariance
     assert abs(l_pos - l_neg) < 1e-6
+
+
+def test_pwn_edge_scalar_gather_matches_row_gather():
+    """pwn_edge_loss's _pair_cos (row-gather forward, per-channel scalar
+    scatter-add backward via custom_vjp) must match the naive row-gather
+    dot bitwise in BOTH value and gradient, eager and jitted, incl. vmap."""
+    rng = np.random.default_rng(0)
+    n = jnp.asarray(rng.normal(size=(64, 48, 3)), jnp.float32)
+    a = jnp.asarray(rng.integers(0, 64 * 48, size=(500,)))
+    b = jnp.asarray(rng.integers(0, 64 * 48, size=(500,)))
+    w = jnp.asarray(rng.normal(size=(500,)), jnp.float32)
+
+    def row(n, a, b):
+        nf = n.reshape(-1, 3)
+        return jnp.abs(jnp.sum(nf[a] * nf[b], -1))
+
+    assert bool((row(n, a, b) == L._pair_cos(n, a, b)).all())
+
+    # duplicate indices (a/b overlap + repeats): accumulation ORDER of the
+    # scatter-adds differs between the row and per-channel forms, so grads
+    # agree to float32 rounding, not bitwise
+    g_row = jax.grad(lambda n: jnp.sum(row(n, a, b) * w))(n)
+    g_cus = jax.grad(lambda n: jnp.sum(L._pair_cos(n, a, b) * w))(n)
+    np.testing.assert_allclose(np.asarray(g_row), np.asarray(g_cus), atol=1e-6)
+
+    # with unique, disjoint indices the scatter-adds are collision-free and
+    # the gradients must be bitwise identical
+    perm = rng.permutation(64 * 48)
+    au, bu = jnp.asarray(perm[:500]), jnp.asarray(perm[500:1000])
+    gu_row = jax.grad(lambda n: jnp.sum(row(n, au, bu) * w))(n)
+    gu_cus = jax.grad(lambda n: jnp.sum(L._pair_cos(n, au, bu) * w))(n)
+    assert bool((gu_row == gu_cus).all())
+
+    # jit + vmap (the shape pwn_edge_loss uses under the per-image vmap)
+    nb_, ab, bb = jnp.stack([n, 2 * n]), jnp.stack([a, b]), jnp.stack([b, a])
+    gv = jax.jit(jax.vmap(jax.grad(
+        lambda n, a, b: jnp.sum(L._pair_cos(n, a, b)))))(nb_, ab, bb)
+    gn = jax.jit(jax.vmap(jax.grad(
+        lambda n, a, b: jnp.sum(row(n, a, b)))))(nb_, ab, bb)
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(gn), atol=1e-6)
+
+    # and the full loss still has finite, nonzero gradient w.r.t. pred
+    B, S = 1, 48
+    pred = jnp.asarray(np.abs(rng.normal(size=(B, S, S, 1))) + 0.5, jnp.float32)
+    gt = jnp.asarray(np.abs(rng.normal(size=(B, S, S, 1))) + 0.5, jnp.float32)
+    rgb = jnp.asarray(rng.normal(size=(B, S, S, 3)), jnp.float32)
+    focal = jnp.full((B,), 250.0)
+    key = jax.random.PRNGKey(0)
+    val, g = jax.value_and_grad(
+        lambda p: jnp.sum(L.pwn_edge_loss(key, p, gt, rgb, focal, n_anchors=40))
+    )(pred)
+    assert np.isfinite(float(val))
+    assert bool(jnp.isfinite(g).all())
+    assert float(jnp.abs(g).sum()) > 0.0

@@ -194,3 +194,54 @@ def test_pwn_planes_parity(torch_ref):
 
     assert ref_count > 0  # the comparison is non-vacuous
     np.testing.assert_allclose(ours, ref_val, rtol=0, atol=2e-5)
+
+def test_pwn_edge_maps_parity(torch_ref):
+    """The deterministic edge maps feeding pwn_edge_loss's pair sampling
+    match the live reference: getEdge on rgb (red channel), getNormalEdge
+    on the gt normals, the 5-px border zeroing, and the dilated gt-depth
+    edge masking (PWN_edges.py:139-192)."""
+    import importlib
+    import torch.nn.functional as F
+
+    torch, _, _, SN, _ = torch_ref
+    PWN = importlib.import_module("lib.models.PWN_edges")
+
+    H, W = 32, 40
+    rng = np.random.default_rng(4)
+    rgb = rng.normal(size=(1, H, W, 3)).astype(np.float32)
+    gt = rng.uniform(0.3, 9.5, (1, H, W, 1)).astype(np.float32)
+    gt[0, 10:14, 5:9] = -1.0  # invalid region
+    focal = np.array([210.0], np.float32)
+
+    # ---- reference side: getEdge/getNormalEdge + forward's masking block
+    ref_loss = PWN.EdgeguidedNormalRegressionLoss()
+    gt_t = torch.from_numpy(_nchw(gt))
+    normals_t = SN.surface_normal_from_depth(
+        gt_t, torch.from_numpy(focal), valid_mask=(gt_t > -1e-8)
+    )
+    e_img, t_img = ref_loss.getEdge(torch.from_numpy(_nchw(rgb)))
+    e_nrm, t_nrm = ref_loss.getNormalEdge(normals_t)
+    mask_border = torch.ones_like(e_nrm)
+    mask_border[:, :, 5:-5, 5:-5] = 0
+    e_nrm[mask_border.bool()] = 0
+    e_dep, _ = ref_loss.getEdge(gt_t)
+    dep_mask = e_dep.ge(e_dep.max() * 0.1)
+    dil = torch.clamp(
+        F.conv2d(dep_mask.float(), ref_loss.kernel, padding=(1, 1)), 0, 1
+    ).bool()
+    e_nrm[dil] = 0
+    e_img[dil] = 0
+
+    # ---- our side: same gt normals (normal parity is tested separately)
+    n_g = jnp.asarray(np.transpose(normals_t.numpy(), (0, 2, 3, 1))[0])
+    ours = L.pwn_edge_maps(jnp.asarray(rgb[0]), n_g, jnp.asarray(gt[0]))
+    for o, r, tol, name in (
+        (ours[0], e_img, 1e-4, "edges_img"),
+        (ours[1], t_img, 1e-5, "thetas_img"),
+        (ours[2], e_nrm, 1e-4, "edges_normal"),
+        (ours[3], t_nrm, 1e-5, "thetas_normal"),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(o), r.numpy()[0, 0], rtol=1e-4, atol=tol,
+            err_msg=name,
+        )
