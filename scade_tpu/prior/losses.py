@@ -4,9 +4,10 @@ Re-implements the reference losses (reference: ambiguity_aware_prior/lib/models/
 ILNR_loss.py, MSGIL_loss.py, ranking_loss.py, PWN_edges.py, PWN_planes.py,
 Surface_normal.py) with TPU-native static shapes: every dynamic
 masked_select / nonzero / randperm in the reference becomes fixed-count
-sampling via Gumbel-categorical draws over the validity mask, which keeps
-one compiled program for every image while sampling uniformly over exactly
-the same support.
+inverse-CDF sampling over the validity mask (masked_sample; the plane loss
+shares one argsort partition across its instances — see pwn_planes_loss),
+which keeps one compiled program for every image while sampling uniformly
+over exactly the same support.
 
 Faithfulness notes (verified against the reference source):
 
@@ -31,6 +32,7 @@ All image tensors here are NHWC (channel-last; the reference is NCHW).
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -493,13 +495,34 @@ def pwn_edge_loss(key, pred_ss, gt, rgb, focal_length, mask_value=-1e-8,
 
 def pwn_planes_loss(key, gt_depth, pred_depth, planes_mask, focal_length,
                     sample_groups: int = 5000, max_planes: int = 8,
-                    delta_cos=0.867, delta_diff=0.007):
+                    delta_cos=0.867, delta_diff=0.007, impl=None):
     """PWNPlanesLoss (PWN_planes.py:6-250): sample 3-point groups inside each
     plane instance, compute virtual normals, penalize deviation from the
     plane's mean normal. planes_mask: (B, H, W) int instance ids (0 = none).
     Static shapes: up to max_planes instances per image, sample_groups
-    groups per plane. → (B,)."""
+    groups per plane. → (B,).
+
+    impl selects the per-plane sampling lowering (None → the
+    SCADE_PWN_PLANES env var, default "perm"); both are bit-identical
+    (tests/test_prior.py::test_pwn_planes_perm_matches_cdf):
+
+    - "perm": ONE stable argsort per image orders pixels by plane id
+      (ties: ascending pixel index), so plane k's rank-r valid pixel is
+      perm[offset_k + r] and a draw is floor(u) index math + one scalar
+      gather — the 8 per-plane mask CDFs + bucketed searches collapse
+      into a shared partition. Chip probe (tools/probe_perm_build.py,
+      B=20, 8 planes, 15000 draws, P=448²): 29.1 ms vs 48.7 ms for the
+      masked_sample path (a scatter-set counting sort loses at 136 ms —
+      TPU sort is cheap, pointwise scatter construction is not).
+    - "cdf": 8 independent masked_sample calls (kept as the reference
+      lowering for the deterministic-sampling golden,
+      tests/test_prior_losses_golden.py::test_pwn_planes_parity).
+    """
     B, H, W = pred_depth.shape[:3]
+    P = H * W
+    n = 3 * sample_groups
+    if impl is None:
+        impl = os.environ.get("SCADE_PWN_PLANES", "perm")
 
     def per_image(key, pred, planes, f):
         # two coordinate systems, as in the reference (select_points_groups
@@ -520,14 +543,52 @@ def pwn_planes_loss(key, gt_depth, pred_depth, planes_mask, focal_length,
         max_uv = jnp.float32(W - 1 - W // 2)
         pred_flat = pred.reshape(-1)
         planes_flat = planes.reshape(-1)
+        keys = jax.random.split(key, max_planes)
 
-        def per_plane(plane_key, plane_id):
-            mask = (planes_flat == plane_id) & (plane_id > 0)
-            n_valid = jnp.sum(mask)
-            idx, _ = masked_sample(plane_key, mask, 3 * sample_groups)
+        if impl == "perm":
+            pf = jnp.where(
+                (planes_flat < 0) | (planes_flat > max_planes), 0, planes_flat)
+            perm = jnp.argsort(pf, stable=True).astype(jnp.int32)
+            counts = jnp.sum(
+                pf[:, None] == jnp.arange(max_planes + 1, dtype=pf.dtype),
+                axis=0)
+            offsets = jnp.cumsum(counts) - counts  # exclusive, (K+1,)
+
+            def sample_plane(plane_key, j):
+                cnt = counts[j + 1]
+                # same RNG stream as masked_sample, and floor(u) IS the
+                # searchsorted(cdf, u, 'right') rank (the mask CDF's values
+                # are exact f32 integers for P < 2^24), so idx reproduces
+                # the cdf impl bit-for-bit — including the u==total →
+                # last-pixel clip law and the empty-plane → P-1 law
+                u = jax.random.uniform(plane_key, (n,)) * jnp.maximum(
+                    cnt.astype(jnp.float32), 1.0)
+                r = u.astype(jnp.int32)
+                pos = offsets[j + 1] + jnp.clip(r, 0, jnp.maximum(cnt - 1, 0))
+                idx = jnp.where(
+                    r >= cnt, P - 1, perm[jnp.minimum(pos, P - 1)])
+                return idx, cnt
+
+            idx_all, n_valid_all = jax.vmap(sample_plane)(
+                keys, jnp.arange(max_planes))
+        else:
+
+            def sample_plane(plane_key, plane_id):
+                mask = (planes_flat == plane_id) & (plane_id > 0)
+                idx, _ = masked_sample(plane_key, mask, n)
+                return idx, jnp.sum(mask)
+
+            idx_all, n_valid_all = jax.vmap(sample_plane)(
+                keys, jnp.arange(1, max_planes + 1))
+
+        # ONE flat differentiable gather for all planes; its VJP is one flat
+        # (max_planes*n,) scalar scatter-add per image — the winning shape
+        # in tools/probe_scatter_pwn.py
+        z_all = pred_flat[idx_all.reshape(-1)].reshape(max_planes, n)
+
+        def per_plane(idx, z, n_valid):
             uu = (idx % W).astype(jnp.float32) - W // 2
             vv = (idx // W).astype(jnp.float32) - H // 2
-            z = pred_flat[idx]  # the only differentiable gather
             xyz = jnp.stack(
                 [uu * jnp.abs(z) / f, vv * jnp.abs(z) / f, z], axis=-1)
             p1, p2, p3 = xyz[0::3], xyz[1::3], xyz[2::3]
@@ -572,10 +633,8 @@ def pwn_planes_loss(key, gt_depth, pred_depth, planes_mask, focal_length,
                 jnp.where(keep, jnp.sum(w), 0.0),
             )
 
-        plane_ids = jnp.arange(1, max_planes + 1)
-        keys = jax.random.split(key, max_planes)
-        losses, counts = jax.vmap(per_plane)(keys, plane_ids)
-        return jnp.sum(losses), jnp.sum(counts)
+        losses, cnts = jax.vmap(per_plane)(idx_all, z_all, n_valid_all)
+        return jnp.sum(losses), jnp.sum(cnts)
 
     keys = jax.random.split(key, B)
     losses, counts = jax.vmap(per_image)(keys, pred_depth, planes_mask, focal_length)

@@ -431,3 +431,32 @@ def test_pwn_edge_scalar_gather_matches_row_gather():
     assert np.isfinite(float(val))
     assert bool(jnp.isfinite(g).all())
     assert float(jnp.abs(g).sum()) > 0.0
+
+
+def test_pwn_planes_perm_matches_cdf():
+    """The shared-argsort "perm" sampling (the default; see pwn_planes_loss
+    docstring) must reproduce the per-plane masked_sample "cdf" lowering
+    bit-for-bit in value AND gradient: same RNG streams, and floor(u) over
+    the partition segment is exactly searchsorted(cdf, u, 'right') for 0/1
+    weights. Covers ids > max_planes (dropped), empty planes, sub-threshold
+    planes, and a full-support plane."""
+    key = jax.random.PRNGKey(7)
+    B, H, W = 2, 48, 64
+    rng = np.random.default_rng(7)
+    pred = jnp.asarray(rng.uniform(0.3, 5.0, (B, H, W, 1)), jnp.float32)
+    planes = rng.integers(0, 3, (B, H, W)).astype(np.int32)
+    planes[0, :2, :] = 9        # id > max_planes: not a plane instance
+    planes[1, 4:6, 4:6] = 4     # 4 px: below the 0.6*3*groups support bar
+    planes[1, 20:40, :] = 3     # full-support plane
+    planes = jnp.asarray(planes)
+    f = jnp.full((B,), 300.0)
+
+    def total(impl, p):
+        return jnp.sum(L.pwn_planes_loss(
+            key, p, p, planes, f, sample_groups=32, max_planes=4, impl=impl))
+
+    v_cdf, g_cdf = jax.value_and_grad(lambda p: total("cdf", p))(pred)
+    v_perm, g_perm = jax.value_and_grad(lambda p: total("perm", p))(pred)
+    assert float(v_cdf) == float(v_perm)
+    np.testing.assert_array_equal(np.asarray(g_cdf), np.asarray(g_perm))
+    assert float(jnp.abs(g_cdf).sum()) > 0.0

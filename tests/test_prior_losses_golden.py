@@ -184,10 +184,13 @@ def test_pwn_planes_parity(torch_ref):
     orig_sample = L.masked_sample
     L.masked_sample = det_sample
     try:
+        # impl="cdf": the deterministic-sampling monkeypatch above routes
+        # through masked_sample; the perm impl is pinned bit-identical to
+        # cdf separately (tests/test_prior.py::test_pwn_planes_perm_matches_cdf)
         ours = float(jnp.sum(L.pwn_planes_loss(
             jax.random.PRNGKey(0), jnp.asarray(pred), jnp.asarray(pred),
             jnp.asarray(planes), jnp.full((B,), f), sample_groups=groups,
-            max_planes=4,
+            max_planes=4, impl="cdf",
         )))
     finally:
         L.masked_sample = orig_sample
