@@ -587,11 +587,26 @@ def pwn_planes_loss(key, gt_depth, pred_depth, planes_mask, focal_length,
         z_all = pred_flat[idx_all.reshape(-1)].reshape(max_planes, n)
 
         def per_plane(idx, z, n_valid):
-            uu = (idx % W).astype(jnp.float32) - W // 2
-            vv = (idx // W).astype(jnp.float32) - H // 2
-            xyz = jnp.stack(
-                [uu * jnp.abs(z) / f, vv * jnp.abs(z) / f, z], axis=-1)
-            p1, p2, p3 = xyz[0::3], xyz[1::3], xyz[2::3]
+            # Structure-of-arrays throughout: every (N, 3)/(N, 3, 2)
+            # small-trailing-dim tensor of the naive formulation puts 3 (or
+            # 2) elements on the 128-wide TPU lane dim — <3% lane
+            # occupancy on every vector op and a lane-padded einsum for the
+            # filter. Unrolling the coordinates into separate (N,) planes
+            # keeps every op lane-dense. Per-component arithmetic uses the
+            # same operand order as the vector forms (cross/cosine/norm
+            # expansions written left-to-right), so values match the
+            # stacked formulation to f32 rounding of the N-axis reductions.
+            i1, i2, i3 = idx[0::3], idx[1::3], idx[2::3]
+            z1, z2, z3 = z[0::3], z[1::3], z[2::3]
+
+            def cam(i, zz):
+                uu = (i % W).astype(jnp.float32) - W // 2
+                vv = (i // W).astype(jnp.float32) - H // 2
+                return uu, vv, uu * jnp.abs(zz) / f, vv * jnp.abs(zz) / f
+
+            u1, v1, x1, y1 = cam(i1, z1)
+            u2, v2, x2, y2 = cam(i2, z2)
+            u3, v3, x3, y3 = cam(i3, z3)
             # validity: plane has enough support — the reference drops any
             # plane with < 0.6*select_size valid pixels (select_index
             # :82-85, valid_batch=False)
@@ -601,29 +616,54 @@ def pwn_planes_loss(key, gt_depth, pred_depth, planes_mask, focal_length,
             # normalized uv coords: reject near-collinear (cos > delta) or
             # near-coincident groups. Pure index math — z drops out of the
             # reference's filter too (it slices [:, :2]).
-            quv = jnp.stack([uu / max_uv, vv / max_uv], axis=-1)
-            q1, q2, q3 = quv[0::3], quv[1::3], quv[2::3]
-
-            d12, d13, d23 = q2 - q1, q3 - q1, q3 - q2
-            diffs = jnp.stack([d12, d13, d23], 1)  # (N, 3, 2)
-            norms = jnp.linalg.norm(diffs, axis=-1) + 1e-8
-            cosm = jnp.einsum("nic,njc->nij", diffs, diffs) / (
-                norms[:, :, None] * norms[:, None, :]
+            dx = (
+                (u2 - u1) / max_uv, (u3 - u1) / max_uv, (u3 - u2) / max_uv)
+            dy = (
+                (v2 - v1) / max_uv, (v3 - v1) / max_uv, (v3 - v2) / max_uv)
+            norms = [
+                jnp.sqrt(dx[i] ** 2 + dy[i] ** 2) + 1e-8 for i in range(3)]
+            n_bad = 0
+            for i in range(3):
+                for j in range(3):
+                    cos_ij = (dx[i] * dx[j] + dy[i] * dy[j]) / (
+                        norms[i] * norms[j])
+                    n_bad = n_bad + (
+                        (cos_ij > delta_cos) | (cos_ij < -delta_cos)
+                    ).astype(jnp.int32)
+            mask_cos = n_bad > 3
+            near = (
+                (jnp.abs(dx[0]) < delta_diff)
+                | (jnp.abs(dx[1]) < delta_diff)
+                | (jnp.abs(dx[2]) < delta_diff)
+            ) & (
+                (jnp.abs(dy[0]) < delta_diff)
+                | (jnp.abs(dy[1]) < delta_diff)
+                | (jnp.abs(dy[2]) < delta_diff)
             )
-            mask_cos = jnp.sum(
-                (cosm > delta_cos) | (cosm < -delta_cos), axis=(1, 2)
-            ) > 3
-            near = jnp.sum(jnp.abs(diffs[..., 0]) < delta_diff, 1) > 0
-            near &= jnp.sum(jnp.abs(diffs[..., 1]) < delta_diff, 1) > 0
             group_ok = (~(mask_cos | near)) & plane_ok
 
-            vn = safe_normalize(jnp.cross(p2 - p1, p3 - p1))
-            flip = jnp.sum(vn * p1, -1) > 0
-            vn = jnp.where(flip[:, None], -vn, vn)
+            # virtual normal: cross(p2-p1, p3-p1), unit-normalized, oriented
+            # away from p1 (same component expansions as jnp.cross /
+            # safe_normalize)
+            ax, ay, az = x2 - x1, y2 - y1, z2 - z1
+            bx, by, bz = x3 - x1, y3 - y1, z3 - z1
+            cx = ay * bz - az * by
+            cy = az * bx - ax * bz
+            cz = ax * by - ay * bx
+            inv = jax.lax.rsqrt(cx**2 + cy**2 + cz**2 + 1e-12)
+            vx, vy, vz = cx * inv, cy * inv, cz * inv
+            flip = vx * x1 + vy * y1 + vz * z1 > 0
+            vx = jnp.where(flip, -vx, vx)
+            vy = jnp.where(flip, -vy, vy)
+            vz = jnp.where(flip, -vz, vz)
 
-            w = group_ok.astype(jnp.float32)[:, None]
-            aver = safe_normalize(jnp.sum(vn * w, 0), axis=0, eps=1e-10)
-            cos_diff = jnp.where(group_ok, 1.0 - jnp.sum(vn * aver, -1), 0.0)
+            w = group_ok.astype(jnp.float32)
+            sx, sy, sz = (
+                jnp.sum(vx * w), jnp.sum(vy * w), jnp.sum(vz * w))
+            s_inv = jax.lax.rsqrt(sx**2 + sy**2 + sz**2 + 1e-10)
+            avx, avy, avz = sx * s_inv, sy * s_inv, sz * s_inv
+            cos_diff = jnp.where(
+                group_ok, 1.0 - (vx * avx + vy * avy + vz * avz), 0.0)
             # a plane with < 2 surviving groups contributes NOTHING — not
             # even to the global denominator (constrain_a_plane_loss
             # :189-190 returns [0.0, 0])
