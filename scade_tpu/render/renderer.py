@@ -463,7 +463,7 @@ def _image_render_fn_sharded(rc: RenderConfig, H: int, W: int, chunk: int,
     evaluates on one GPU (run_scade_scannet.py:304-394); this is the
     TPU-native scale-out for test/video rendering, complementing the
     data-parallel train step (train/step.py)."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import NamedSharding
     from jax.sharding import PartitionSpec as P
 

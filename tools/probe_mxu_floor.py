@@ -83,7 +83,18 @@ def chain_flops_probe(timer_factory, batch, width, depth, k_in=None,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--k0_sweep", action="store_true",
+                    help="only sweep the first-layer input width K0 "
+                         "(production PE width 57, the r4-probed 63, and "
+                         "lane-aligned 64/128/256) — the VERDICT r4 #2 "
+                         "alignment question")
     args = ap.parse_args()
+
+    if args.k0_sweep:
+        for k0 in (57, 63, 64, 128, 256):
+            chain_flops_probe(None, 131072, 256, 8, k_in=k0,
+                              iters=args.iters)
+        return
 
     # 1. practical ceiling (pure bf16)
     chain_flops_probe(None, 65536, 2048, 4, iters=args.iters,

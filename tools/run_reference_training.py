@@ -63,6 +63,10 @@ def main():
     ap.add_argument("--ckpt_dir", default="/tmp/ref_ckpt")
     ap.add_argument("--expname", default="ref")
     ap.add_argument("--num_iterations", type=int, default=2000)
+    ap.add_argument("--i_weights", type=int, default=0,
+                    help="checkpoint cadence (0 = only at the end); "
+                         "intermediate .tar files let long runs be scored "
+                         "mid-flight with tools/run_reference_test.py")
     ap.add_argument("--N_rand", type=int, default=256)
     ap.add_argument("--N_samples", type=int, default=64)
     ap.add_argument("--N_importance", type=int, default=128)
@@ -119,7 +123,8 @@ def main():
         perturb=1.0, use_viewdirs=True, i_embed=0, multires=9,
         multires_views=0, raw_noise_std=0.0, lindisp=False,
         i_print=max(flags.num_iterations // 10, 1), i_img=10**9,
-        i_weights=flags.num_iterations, scene_id=flags.scene_id,
+        i_weights=flags.i_weights or flags.num_iterations,
+        scene_id=flags.scene_id,
         data_dir=flags.data_dir, train_jsonfile="transforms_train.json",
         cimle_dir=flags.cimle_dir, num_hypothesis=flags.num_hypothesis,
         space_carving_weight=0.007, warm_start_nerf=0,
