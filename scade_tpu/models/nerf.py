@@ -41,6 +41,14 @@ class NeRFConfig:
     skips: tuple = (4,)
     use_viewdirs: bool = True
     compute_dtype: Any = jnp.float32
+    # Zero-pad the embedded-position lane (the production PE width 57) up to
+    # a multiple of 64 at apply time, with matching zero kernel rows —
+    # outputs unchanged (0·w contributes exactly +0.0f to the accumulator).
+    # The thin first-layer K misaligns the MXU pass: the W=256 D=8 chain
+    # probes 155 TFLOP/s at K0=63 vs 176 lane-aligned
+    # (tools/probe_mxu_floor.py --k0_sweep, BASELINE.md r4/r5). Static flag
+    # so both variants stay jit-cacheable.
+    pad_input_lanes: bool = False
 
     def layer_in_dim(self, i: int) -> int:
         if i == 0:
@@ -140,8 +148,30 @@ def nerf_apply(params: Params, cfg: NeRFConfig, x: jnp.ndarray) -> jnp.ndarray:
     input_pts = x[..., : cfg.input_ch]
     input_views = x[..., cfg.input_ch :]
 
+    # lane alignment (cfg.pad_input_lanes): widen the thin embedded-position
+    # operand K0 (57 at multires 9) to the next multiple of 64 with zeros,
+    # and insert matching zero ROWS into the kernels that contract it (layer
+    # 0, and the skip-concat segment of layer skips+1). 0·w adds exactly
+    # +0.0f to each accumulator, so outputs are unchanged.
+    pad = 0
+    if cfg.pad_input_lanes and cfg.input_ch % 64:
+        pad = 64 - cfg.input_ch % 64
+
+    def pad_cols(v):
+        return jnp.pad(v, [(0, 0)] * (v.ndim - 1) + [(0, pad)]) if pad else v
+
+    def pad_rows(kernel, at):
+        if not pad:
+            return kernel
+        z = jnp.zeros((pad, kernel.shape[1]), kernel.dtype)
+        return jnp.concatenate([kernel[:at], z, kernel[at:]], axis=0)
+
+    input_pts = pad_cols(input_pts)
+
     h = input_pts.astype(hd)
     for i, layer in enumerate(params["pts_linears"]):
+        if pad and (i == 0 or (i - 1) in cfg.skips):
+            layer = dict(layer, kernel=pad_rows(layer["kernel"], cfg.input_ch))
         h = jax.nn.relu(_dense(h, layer, cd, out_dtype=hd))
         if i in cfg.skips:
             h = jnp.concatenate([input_pts.astype(hd), h], axis=-1)

@@ -102,9 +102,19 @@ def make_render_config(
     use_fused: bool = False,
     fused_tile: int = 2048,
     fused_sampling: bool = False,
+    pad_input_lanes: Optional[bool] = None,
 ) -> RenderConfig:
-    """Build a RenderConfig from reference-style flags (create_nerf :422-509)."""
+    """Build a RenderConfig from reference-style flags (create_nerf :422-509).
+
+    pad_input_lanes: lane-align the thin embedded-position operand (K0=57)
+    with zero columns + zero kernel rows — output-identical (models/nerf.py).
+    None reads SCADE_PAD_K0 (default on; set SCADE_PAD_K0=0 to disable)."""
+    import os as _os
+
     from scade_tpu.ops.embedding import get_embedder
+
+    if pad_input_lanes is None:
+        pad_input_lanes = _os.environ.get("SCADE_PAD_K0", "1") != "0"
 
     embed_pos = get_embedder(multires, i_embed)
     embed_dirs = get_embedder(multires_views, i_embed) if use_viewdirs else None
@@ -120,6 +130,7 @@ def make_render_config(
         output_ch=5 if n_importance > 0 else 4,
         use_viewdirs=use_viewdirs,
         compute_dtype=compute_dtype,
+        pad_input_lanes=pad_input_lanes,
     )
     return RenderConfig(
         n_samples=n_samples,

@@ -93,3 +93,30 @@ def test_bfloat16_compute_close():
     assert raw_f32.dtype == jnp.float32
     # bf16 matmuls with f32 accumulation stay close on this depth of net
     assert float(jnp.max(jnp.abs(raw_bf16 - raw_f32))) < 0.15
+
+
+def test_pad_input_lanes_matches():
+    """cfg.pad_input_lanes widens K0 57→64 with zero input columns and zero
+    kernel rows (VERDICT r4 #2). Mathematically 0·w adds +0.0f per
+    accumulator; XLA:CPU however retiles the K=64 contraction and
+    reassociates the f32 sum, so CPU asserts a ~1-ulp-per-term bound. The
+    MXU contracts both widths in one identical 128-wide pass — bitwise
+    identity on the chip is asserted in the on-chip A/B (BASELINE.md r5)."""
+    import dataclasses
+
+    import jax
+
+    g = load_golden("nerf_forward")
+    cfg = _cfg()
+    params = params_from_torch_state_dict(_golden_state_dict(g), cfg)
+    emb = get_embedder(9, 0)
+    x = jnp.concatenate(
+        [positional_encoding(jnp.asarray(g["pts"]), emb), jnp.asarray(g["dirs"])],
+        axis=-1,
+    )
+    for cd, tol in ((jnp.float32, 3e-6), (jnp.bfloat16, 3e-2)):
+        base = dataclasses.replace(cfg, compute_dtype=cd)
+        padded = dataclasses.replace(base, pad_input_lanes=True)
+        a = np.asarray(jax.jit(nerf_apply, static_argnums=1)(params, base, x))
+        b = np.asarray(jax.jit(nerf_apply, static_argnums=1)(params, padded, x))
+        np.testing.assert_allclose(a, b, rtol=tol, atol=tol)

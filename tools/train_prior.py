@@ -79,6 +79,12 @@ def main():
                     help="train only the AdaIn style MLPs for the first N "
                          "epochs (reference PRETRAIN_MLP)")
     ap.add_argument("--seed_num", type=int, default=0)
+    ap.add_argument("--loss_jsonl", default=None,
+                    help="append RAW per-step criterion losses as JSONL "
+                         "(one record per SGD step) — the head-to-head "
+                         "trajectory artifact matching "
+                         "run_reference_prior_training.py's patched "
+                         "TrainingStats capture")
     ap.add_argument("--small_model", action="store_true",
                     help="tiny ResNeXt variant (tests only)")
     ap.add_argument("--ckpt", default=None, help="resume/finetune checkpoint")
@@ -257,6 +263,7 @@ def main():
     shifts = zero_shifts_for(model)
     mv_path = os.path.join(args.log_dir, "mean_var_adain.npy")
     selected_z = None
+    jsonl_step = [0]  # global SGD-step counter for --loss_jsonl records
     for epoch in range(args.epochs):
         if epoch == 0:
             print("Initializing AdaIn layers")
@@ -327,6 +334,7 @@ def main():
             print(f"cached z: {selected_z.shape}")
 
         epoch_losses = []
+        epoch_loss_dicts = []
         idx = 0
         for batch in batches(args.batchsize):
             import jax.numpy as jnp
@@ -352,6 +360,26 @@ def main():
             # keep the loss as a device scalar: float() here would force a
             # tunnel round trip EVERY step (deferred execution, ~40-80 ms)
             epoch_losses.append(total)
+            if args.loss_jsonl:
+                epoch_loss_dicts.append(loss_dict)
+        if args.loss_jsonl and epoch_loss_dicts:
+            # one fetch per epoch (not per step): stack device scalars, then
+            # materialize; step numbering is global like the reference's
+            import json
+
+            import jax.numpy as jnp
+
+            keys2 = sorted(epoch_loss_dicts[0])
+            stacked = np.asarray(jnp.stack(
+                [jnp.stack([ld[k2] for k2 in keys2])
+                 for ld in epoch_loss_dicts]
+            ))
+            with open(args.loss_jsonl, "a") as fp:
+                for row in stacked:
+                    rec = {"step": jsonl_step[0], "epoch": epoch}
+                    rec.update({k2: float(v) for k2, v in zip(keys2, row)})
+                    fp.write(json.dumps(rec) + "\n")
+                    jsonl_step[0] += 1
         if epoch_losses:
             print(f"Epoch {epoch}/{args.epochs}: loss "
                   f"{np.asarray(jnp.stack(epoch_losses)).mean():.5f}")
