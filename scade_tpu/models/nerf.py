@@ -42,12 +42,13 @@ class NeRFConfig:
     use_viewdirs: bool = True
     compute_dtype: Any = jnp.float32
     # Zero-pad the embedded-position lane (the production PE width 57) up to
-    # a multiple of 64 at apply time, with matching zero kernel rows —
+    # a multiple of 128 at apply time, with matching zero kernel rows —
     # outputs unchanged (0·w contributes exactly +0.0f to the accumulator).
-    # The thin first-layer K misaligns the MXU pass: the W=256 D=8 chain
-    # probes 155 TFLOP/s at K0=63 vs 176 lane-aligned
-    # (tools/probe_mxu_floor.py --k0_sweep, BASELINE.md r4/r5). Static flag
-    # so both variants stay jit-cacheable.
+    # The r5 K0 sweep (tools/probe_mxu_floor.py --k0_sweep, on chip):
+    # 57→155.9, 63→156.7, 64→158.4, 128→179.7 TFLOP/s — sub-128 K0 wastes
+    # most of the 128-lane MXU pass, and padding to 64 recovers almost
+    # nothing; 128 is the aligned target (+3.8% chain FLOPs, +15% rate ⇒
+    # ~10% net). Static flag so both variants stay jit-cacheable.
     pad_input_lanes: bool = False
 
     def layer_in_dim(self, i: int) -> int:
@@ -149,13 +150,13 @@ def nerf_apply(params: Params, cfg: NeRFConfig, x: jnp.ndarray) -> jnp.ndarray:
     input_views = x[..., cfg.input_ch :]
 
     # lane alignment (cfg.pad_input_lanes): widen the thin embedded-position
-    # operand K0 (57 at multires 9) to the next multiple of 64 with zeros,
+    # operand K0 (57 at multires 9) to the next multiple of 128 with zeros,
     # and insert matching zero ROWS into the kernels that contract it (layer
     # 0, and the skip-concat segment of layer skips+1). 0·w adds exactly
     # +0.0f to each accumulator, so outputs are unchanged.
     pad = 0
-    if cfg.pad_input_lanes and cfg.input_ch % 64:
-        pad = 64 - cfg.input_ch % 64
+    if cfg.pad_input_lanes and cfg.input_ch % 128:
+        pad = 128 - cfg.input_ch % 128
 
     def pad_cols(v):
         return jnp.pad(v, [(0, 0)] * (v.ndim - 1) + [(0, pad)]) if pad else v

@@ -448,7 +448,16 @@ def pwn_edge_loss(key, pred_ss, gt, rgb, focal_length, mask_value=-1e-8,
     Implements the evident per-image intent (see module docstring). → (B,)."""
     B, H, W = pred_ss.shape[:3]
     masks = gt > mask_value
-    normals_pred = surface_normal_from_depth(pred_ss, focal_length, masks)
+    # SCADE_SN_REMAT: rematerialize the pred-normal forward in its backward
+    # (the ~18 (B,H,W,3) shift/cross/normalize temporaries otherwise persist
+    # from forward to backward; recomputing them is pure VPU work). The
+    # gt-side normals take no gradient, so only the pred side is wrapped.
+    import os as _os
+
+    sn = (jax.checkpoint(surface_normal_from_depth)
+          if _os.environ.get("SCADE_SN_REMAT", "0") != "0"
+          else surface_normal_from_depth)
+    normals_pred = sn(pred_ss, focal_length, masks)
     normals_gt = surface_normal_from_depth(gt, focal_length, masks)
 
     def per_image(key, n_p, n_g, im, g):

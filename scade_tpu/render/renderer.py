@@ -108,13 +108,16 @@ def make_render_config(
 
     pad_input_lanes: lane-align the thin embedded-position operand (K0=57)
     with zero columns + zero kernel rows — output-identical (models/nerf.py).
-    None reads SCADE_PAD_K0 (default on; set SCADE_PAD_K0=0 to disable)."""
+    None reads SCADE_PAD_K0 (default OFF: the standalone chain probe gains
+    ~10% at K0=128, but the in-pipeline bench A/B measured 251.7k → 245.8k
+    rays/s — the pad/relayout costs more than the aligned matmul saves once
+    the embedding fuses into the pipeline; BASELINE.md r5)."""
     import os as _os
 
     from scade_tpu.ops.embedding import get_embedder
 
     if pad_input_lanes is None:
-        pad_input_lanes = _os.environ.get("SCADE_PAD_K0", "1") != "0"
+        pad_input_lanes = _os.environ.get("SCADE_PAD_K0", "0") != "0"
 
     embed_pos = get_embedder(multires, i_embed)
     embed_dirs = get_embedder(multires_views, i_embed) if use_viewdirs else None

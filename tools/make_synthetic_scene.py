@@ -83,6 +83,13 @@ def main():
     ap.add_argument("--n_video", type=int, default=3)
     ap.add_argument("--cimle_dir", type=str, default="dump")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--backdrop", action="store_true",
+                    help="add a huge far sphere as a back wall so (nearly) "
+                         "every pixel has valid finite gt depth — without "
+                         "it the majority background rays miss (gt 0, "
+                         "hypothesis=far), space carving is satisfied by a "
+                         "far billboard, and test depth RMSE barely moves "
+                         "at short horizons (BASELINE.md r5 ladder)")
     args = ap.parse_args()
 
     rng = np.random.default_rng(args.seed)
@@ -97,6 +104,10 @@ def main():
         ((1.2, 0.5, -4.5), 0.8, (0.2, 0.8, 0.3)),
         ((-1.0, -0.4, -2.5), 0.5, (0.9, 0.8, 0.1)),
     ]
+    if args.backdrop:
+        # nearly-flat wall: surface z≈-5 on-axis, z≥-5.4 at the image
+        # corners, so optical depth stays < far=8 from every camera
+        spheres.append(((0.0, 0.0, -55.0), 50.0, (0.5, 0.55, 0.65)))
 
     base = args.out_dir
     for sub in ("train/rgb", "train/depth", "train/target_depth",
@@ -118,6 +129,11 @@ def main():
                    1.5 + 0.5 * np.cos(angle))
             c2w = look_at_pose(eye, target=(0.0, 0.0, -3.0))
             rgb, depth = render_synthetic(H, W, fx, fy, cx, cy, c2w, spheres)
+            if args.backdrop:
+                # off-axis corners of the tilted wall can exceed far — mark
+                # them invalid (0) rather than asking the NeRF to place
+                # geometry outside its [near, far] sampling support
+                depth = np.where(depth > 0.93 * far, 0.0, depth)
 
             name = f"{img_counter}"
             rgb_rel = f"train/rgb/{name}.jpg"
