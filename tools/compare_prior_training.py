@@ -109,6 +109,12 @@ def eval_ref(flags, batches):
     cfg.MODEL.LOAD_IMAGENET_PRETRAINED_WEIGHTS = False
     cfg.MODEL.ENCODER = "resnext101_stride32x8d"
     cfg.DATASET.CROP_SIZE = (flags.crop, flags.crop)
+    # the criterion dispatches on this (multi_depth_model_auxiv2.py:281-331);
+    # config.py's default '_vnl_ssil_ranking_' names NONE of the 5 losses —
+    # train_single.py only gets them via merge_cfg_from_file(FLAGS)
+    cfg.TRAIN.LOSS_MODE = ("_ranking-edge_pairwise-normal-regress-edge_"
+                           "msgil-normal_meanstd-tanh_"
+                           "pairwise-normal-regress-plane_")
     from lib.models.multi_depth_model_auxiv2 import RelDepthModel_cIMLE
     from utils import load_mean_var_adain
 
